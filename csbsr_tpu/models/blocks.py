@@ -1,0 +1,404 @@
+"""Shared NN blocks (flax.linen, NHWC).
+
+TPU-native rebuild of the reference block libraries:
+  - `/root/reference/model/modeling/base_networks.py` (DBPN blocks: ConvBlock/
+    DeconvBlock bias=True, PReLU(0.25), no norm; UpBlock/DownBlock/D_*)
+  - `/root/reference/model/modeling/kbpn.py:192-289` (BlockBase family:
+    bias=False, ReLU/PReLU(0.01)/LeakyReLU(0.01), optional BatchNorm,
+    kaiming/xavier init chosen by activation)
+  - `/root/reference/model/modeling/blocks.py` (SFTLikeBlock / SFTBlock)
+
+Layout is NHWC (TPU-preferred); deconvs use explicit padding chosen for
+torch `ConvTranspose2d(k, s, p)` output-shape parity: lax padding
+(k-1-p, k-1-p) gives out = (in-1)*s + k - 2p.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops.resize import pixel_shuffle
+
+Dtype = Any
+
+
+def kaiming_normal_leaky(a: float = 0.0):
+    """torch kaiming_normal_(mode='fan_in', nonlinearity='leaky_relu', a=a).
+
+    std = gain / sqrt(fan_in), gain = sqrt(2 / (1 + a^2)).
+    flax kernels are (kh, kw, in, out) -> fan_in = kh*kw*in.
+    """
+    gain = (2.0 / (1.0 + a * a)) ** 0.5
+
+    def init(key, shape, dtype=jnp.float32):
+        if len(shape) == 4:
+            fan_in = shape[0] * shape[1] * shape[2]
+        else:
+            fan_in = shape[0]
+        std = gain / (fan_in**0.5)
+        return jax.random.normal(key, shape, dtype) * std
+
+    return init
+
+
+def xavier_normal(gain: float = 1.0):
+    def init(key, shape, dtype=jnp.float32):
+        if len(shape) == 4:
+            fan_in = shape[0] * shape[1] * shape[2]
+            fan_out = shape[0] * shape[1] * shape[3]
+        else:
+            fan_in, fan_out = shape[0], shape[1]
+        std = gain * (2.0 / (fan_in + fan_out)) ** 0.5
+        return jax.random.normal(key, shape, dtype) * std
+
+    return init
+
+
+def _init_for_activation(activation: Optional[str]):
+    """Weight init convention of BlockBase.create_block (kbpn.py:228-238)."""
+    if activation == "relu":
+        return kaiming_normal_leaky(0.0)
+    if activation in ("prelu", "lrelu"):
+        return kaiming_normal_leaky(0.01)
+    if activation == "tanh":
+        return xavier_normal(5.0 / 3.0)
+    return xavier_normal(1.0)
+
+
+class PReLU(nn.Module):
+    """torch nn.PReLU (single shared slope)."""
+
+    init_value: float = 0.25
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        alpha = self.param("alpha", lambda k: jnp.array(self.init_value, jnp.float32))
+        alpha = alpha.astype(x.dtype)
+        return jnp.where(x >= 0, x, alpha * x)
+
+
+def make_activation(name: Optional[str], prelu_init: float = 0.25, lrelu_slope: float = 0.2):
+    if name is None:
+        return None
+    if name == "relu":
+        return lambda mdl, x: nn.relu(x)
+    if name == "prelu":
+        return lambda mdl, x: PReLU(init_value=prelu_init, name=None)(x)
+    if name == "lrelu":
+        return lambda mdl, x: nn.leaky_relu(x, negative_slope=lrelu_slope)
+    if name == "tanh":
+        return lambda mdl, x: jnp.tanh(x)
+    if name == "sigmoid":
+        return lambda mdl, x: nn.sigmoid(x)
+    raise NotImplementedError(name)
+
+
+class ConvBlock(nn.Module):
+    """Conv -> (norm) -> (act).
+
+    Two reference conventions are covered by the flags:
+      base_networks.ConvBlock: bias=True, activation='prelu' (init .25),
+        norm=None, lrelu slope 0.2 (base_networks.py:55-95)
+      kbpn BlockBase ConvBlock: bias=False, activation='relu',
+        normalization='batch', PReLU(init=.01), LeakyReLU(.01)
+        (kbpn.py:266-270, 192-249)
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    dilation: int = 1
+    groups: int = 1
+    use_bias: bool = False
+    activation: Optional[str] = "relu"
+    norm: Optional[str] = "batch"
+    prelu_init: float = 0.01
+    lrelu_slope: float = 0.01
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        init = _init_for_activation(self.activation)
+        x = nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=[(self.padding, self.padding)] * 2,
+            kernel_dilation=(self.dilation, self.dilation),
+            feature_group_count=self.groups,
+            use_bias=self.use_bias,
+            kernel_init=init,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = _apply_norm(self, x, self.norm, train, self.dtype)
+        act = make_activation(self.activation, self.prelu_init, self.lrelu_slope)
+        if act is not None:
+            x = act(self, x)
+        return x
+
+
+class DeconvBlock(nn.Module):
+    """ConvTranspose -> (norm) -> (act); torch ConvTranspose2d shape parity."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    use_bias: bool = False
+    activation: Optional[str] = "relu"
+    norm: Optional[str] = None
+    prelu_init: float = 0.01
+    lrelu_slope: float = 0.01
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        k, p = self.kernel_size, self.padding
+        init = _init_for_activation(self.activation)
+        x = nn.ConvTranspose(
+            self.features,
+            (k, k),
+            strides=(self.stride, self.stride),
+            padding=[(k - 1 - p, k - 1 - p)] * 2,
+            use_bias=self.use_bias,
+            kernel_init=init,
+            transpose_kernel=True,
+            dtype=self.dtype,
+            name="deconv",
+        )(x)
+        x = _apply_norm(self, x, self.norm, train, self.dtype)
+        act = make_activation(self.activation, self.prelu_init, self.lrelu_slope)
+        if act is not None:
+            x = act(self, x)
+        return x
+
+
+class ConvAndPixelShuffleBlock(nn.Module):
+    """Conv producing C*r^2 channels -> norm/act -> PixelShuffle (kbpn.py:280-289)."""
+
+    features: int
+    factor: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    use_bias: bool = False
+    activation: Optional[str] = "relu"
+    norm: Optional[str] = None
+    prelu_init: float = 0.01
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvBlock(
+            self.features * self.factor**2,
+            self.kernel_size,
+            self.stride,
+            self.padding,
+            use_bias=self.use_bias,
+            activation=self.activation,
+            norm=self.norm,
+            prelu_init=self.prelu_init,
+            dtype=self.dtype,
+            name="block",
+        )(x, train)
+        return pixel_shuffle(x, self.factor)
+
+
+def _apply_norm(mdl: nn.Module, x, norm: Optional[str], train: bool, dtype):
+    if norm is None or norm == "spectral":
+        return x
+    if norm == "batch":
+        # torch BatchNorm2d defaults: eps 1e-5, momentum 0.1. On a sharded
+        # batch under jit, the mean/var reductions are global across the
+        # mesh, which *is* SyncBN (SURVEY.md 2.9) - no comm code needed.
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=dtype,
+        )(x)
+    if norm == "instance":
+        return nn.GroupNorm(num_groups=x.shape[-1], use_bias=False, use_scale=False, dtype=dtype)(x)
+    if norm == "group":
+        return nn.GroupNorm(num_groups=32, dtype=dtype)(x)
+    raise NotImplementedError(norm)
+
+
+# --------------------------------------------------------------------------
+# DBPN back-projection blocks (base_networks.py:236-293). These use the
+# base_networks ConvBlock convention: bias=True, prelu(0.25), no norm.
+# --------------------------------------------------------------------------
+
+
+def _bn_conv(features, k, s, p, dtype, name):
+    return ConvBlock(
+        features, k, s, p, use_bias=True, activation="prelu", norm=None,
+        prelu_init=0.25, dtype=dtype, name=name,
+    )
+
+
+def _bn_deconv(features, k, s, p, dtype, name):
+    return DeconvBlock(
+        features, k, s, p, use_bias=True, activation="prelu", norm=None,
+        prelu_init=0.25, dtype=dtype, name=name,
+    )
+
+
+class UpBlock(nn.Module):
+    """base_networks.py:236-248."""
+
+    num_filter: int
+    kernel_size: int = 8
+    stride: int = 4
+    padding: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h0 = _bn_deconv(self.num_filter, self.kernel_size, self.stride, self.padding, self.dtype, "up_conv1")(x, train)
+        l0 = _bn_conv(self.num_filter, self.kernel_size, self.stride, self.padding, self.dtype, "up_conv2")(h0, train)
+        h1 = _bn_deconv(self.num_filter, self.kernel_size, self.stride, self.padding, self.dtype, "up_conv3")(l0 - x, train)
+        return h1 + h0
+
+
+class D_UpBlock(nn.Module):
+    """base_networks.py:250-264."""
+
+    num_filter: int
+    kernel_size: int = 8
+    stride: int = 4
+    padding: int = 2
+    num_stages: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = _bn_conv(self.num_filter, 1, 1, 0, self.dtype, "conv")(x, train)
+        h0 = _bn_deconv(self.num_filter, self.kernel_size, self.stride, self.padding, self.dtype, "up_conv1")(x, train)
+        l0 = _bn_conv(self.num_filter, self.kernel_size, self.stride, self.padding, self.dtype, "up_conv2")(h0, train)
+        h1 = _bn_deconv(self.num_filter, self.kernel_size, self.stride, self.padding, self.dtype, "up_conv3")(l0 - x, train)
+        return h1 + h0
+
+
+class DownBlock(nn.Module):
+    """base_networks.py:266-278."""
+
+    num_filter: int
+    kernel_size: int = 8
+    stride: int = 4
+    padding: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        l0 = _bn_conv(self.num_filter, self.kernel_size, self.stride, self.padding, self.dtype, "down_conv1")(x, train)
+        h0 = _bn_deconv(self.num_filter, self.kernel_size, self.stride, self.padding, self.dtype, "down_conv2")(l0, train)
+        l1 = _bn_conv(self.num_filter, self.kernel_size, self.stride, self.padding, self.dtype, "down_conv3")(h0 - x, train)
+        return l1 + l0
+
+
+class D_DownBlock(nn.Module):
+    """base_networks.py:280-293."""
+
+    num_filter: int
+    kernel_size: int = 8
+    stride: int = 4
+    padding: int = 2
+    num_stages: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = _bn_conv(self.num_filter, 1, 1, 0, self.dtype, "conv")(x, train)
+        l0 = _bn_conv(self.num_filter, self.kernel_size, self.stride, self.padding, self.dtype, "down_conv1")(x, train)
+        h0 = _bn_deconv(self.num_filter, self.kernel_size, self.stride, self.padding, self.dtype, "down_conv2")(l0, train)
+        l1 = _bn_conv(self.num_filter, self.kernel_size, self.stride, self.padding, self.dtype, "down_conv3")(h0 - x, train)
+        return l1 + l0
+
+
+# --------------------------------------------------------------------------
+# SFT conditioning blocks
+# --------------------------------------------------------------------------
+
+
+class SFTLayer(nn.Module):
+    """kbpn.py:493-518: scale/shift from concat(features, condition)."""
+
+    out_features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, features, conditions):
+        cat = jnp.concatenate([features, conditions], axis=-1)
+        c = cat.shape[-1]
+        conv = lambda f, name: nn.Conv(
+            f, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype, name=name
+        )
+        scale = conv(c, "SFT_scale_conv0")(cat)
+        scale = conv(self.out_features, "SFT_scale_conv1")(nn.leaky_relu(scale, 0.1))
+        scale = nn.sigmoid(scale)
+        shift = conv(c, "SFT_shift_conv0")(cat)
+        shift = conv(self.out_features, "SFT_shift_conv1")(nn.leaky_relu(shift, 0.1))
+        return features * scale + shift
+
+
+class SFTLikeBlock(nn.Module):
+    """blocks.py:105-120 (concat-style SFT used by PSPNet BlurSkip)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, cond):
+        cat = jnp.concatenate([x, cond], axis=-1)
+        scale = nn.Conv(self.features, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype, name="scale_conv")(cat)
+        shift = nn.Conv(self.features, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype, name="shift_conv")(cat)
+        return x * nn.sigmoid(scale) + shift
+
+
+class SFTBlock(nn.Module):
+    """blocks.py:123-137 (condition-only SFT)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, cond):
+        scale = nn.Conv(self.features, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype, name="scale_conv")(cond)
+        shift = nn.Conv(self.features, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype, name="shift_conv")(cond)
+        return x * nn.sigmoid(scale) + shift
+
+
+# --------------------------------------------------------------------------
+# Pooling with indices (SegNet / CrackFormer MaxUnpool path)
+# --------------------------------------------------------------------------
+
+
+def max_pool_with_indices(x: jnp.ndarray, window: int = 2, stride: int = 2):
+    """Max pool returning per-window argmax indices (flattened within window).
+
+    TPU-native MaxUnpool support (SURVEY.md 7 step 8): indices are local to
+    each window so unpooling is a scatter-free one-hot multiply.
+    x: (B, H, W, C) with H, W divisible by window.
+    """
+    b, h, w, c = x.shape
+    xw = x.reshape(b, h // window, window, w // window, window, c)
+    xw = xw.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // window, w // window, window * window, c)
+    idx = jnp.argmax(xw, axis=3)
+    pooled = jnp.max(xw, axis=3)
+    return pooled, idx
+
+
+def max_unpool(pooled: jnp.ndarray, idx: jnp.ndarray, window: int = 2):
+    """Inverse of max_pool_with_indices: place values at argmax positions."""
+    b, hp, wp, c = pooled.shape
+    onehot = jax.nn.one_hot(idx, window * window, axis=3, dtype=pooled.dtype)
+    xw = pooled[:, :, :, None, :] * onehot  # (b, hp, wp, win*win, c)
+    xw = xw.reshape(b, hp, wp, window, window, c).transpose(0, 1, 3, 2, 4, 5)
+    return xw.reshape(b, hp * window, wp * window, c)

@@ -1,0 +1,217 @@
+"""Blur-kernel synthesis and the fused on-device degradation op.
+
+The reference synthesises one kernel per sample on the dataloader worker,
+round-tripping through CUDA (`/root/reference/model/data/crack_dataset.py:51-54`,
+`model/data/blur/blur.py:121-238`).  Here kernel synthesis is a vectorised
+JAX function of an rng key (whole batch at once) and the degradation
+(depthwise blur conv + bicubic /SF downsample) is a single jit region that
+fuses into the training step - no host round-trip, no per-sample Python loop.
+
+Kernel families mirror `blur.py`:
+  - `gaussian_kernels`: anisotropic Gaussian, theta ~ U[0,180) deg,
+    sigma_{x,y} ~ U[a,b] (`blur.py:121-179`)
+  - `disk_kernels`: filled circle of random radius (`blur.py:99-118`)
+  - `motion_kernels`: rotated line (`blur.py:49-96`)
+  - `kernel_compound`: 2-D convolution of two kernels (`blur.py:202-205`)
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .resize import resize
+
+__all__ = [
+    "gaussian_kernels",
+    "disk_kernels",
+    "motion_kernels",
+    "kernel_compound",
+    "batch_blur",
+    "degrade",
+    "identity_kernels",
+]
+
+
+def _grid(size: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Horizontal/vertical coordinate grids as in blur.py:132-137."""
+    radius = int(size / 2)
+    rng = jnp.linspace(-radius, radius, size)
+    horizontal = jnp.tile(rng[None, :], (size, 1))
+    vertical = jnp.tile(rng[:, None], (1, size))
+    return horizontal, vertical
+
+
+def gaussian_kernels(
+    key: jax.Array,
+    batch: int,
+    size: int = 21,
+    sigma_range: Tuple[float, float] = (0.2, 4.0),
+    sigma_range2: Tuple[float, float] | None = None,
+    theta_range_deg: Tuple[float, float] = (0.0, 180.0),
+    isotropic: bool = False,
+) -> jnp.ndarray:
+    """Batch of anisotropic Gaussian kernels, each normalised to sum 1.
+
+    Vectorised port of `GaussianBlur.make` (`blur.py:128-168`).
+    Returns (batch, size, size) float32.
+    """
+    k_theta, k_s1, k_s2 = jax.random.split(key, 3)
+    t0, t1 = theta_range_deg
+    theta = (jax.random.uniform(k_theta, (batch,)) * (t1 - t0) + t0) * jnp.pi / 180.0
+    a0, b0 = sigma_range
+    sigma_x = jax.random.uniform(k_s1, (batch,)) * (b0 - a0) + a0
+    if isotropic:
+        sigma_y = sigma_x
+    else:
+        a1, b1 = sigma_range2 if sigma_range2 is not None else sigma_range
+        sigma_y = jax.random.uniform(k_s2, (batch,)) * (b1 - a1) + a1
+
+    h, v = _grid(size)
+    cos_t, sin_t = jnp.cos(theta), jnp.sin(theta)
+    sx2 = 2.0 * sigma_x**2
+    sy2 = 2.0 * sigma_y**2
+    a = (cos_t**2 / sx2 + sin_t**2 / sy2)[:, None, None]
+    b = (sin_t * cos_t * (1.0 / sy2 - 1.0 / sx2))[:, None, None]
+    c = (sin_t**2 / sx2 + cos_t**2 / sy2)[:, None, None]
+    kern = jnp.exp(-(a * h**2 + 2.0 * b * h * v + c * v**2))
+    return kern / jnp.sum(kern, axis=(1, 2), keepdims=True)
+
+
+def disk_kernels(
+    key: jax.Array,
+    batch: int,
+    size: int = 21,
+    ratio_range: Tuple[float, float] = (0.1, 1.0),
+) -> jnp.ndarray:
+    """Filled-circle kernels (`DiskBlur.make`, blur.py:103-118).
+
+    radius = round(size * U[a,b]) / 2 + 0.5 (min deterioration 1), pixel (r,c)
+    included iff (r-cc)^2 + (c-cc)^2 <= radius^2 with cc = size//2 (the
+    skimage.draw.disk rasterisation).
+    """
+    a, b = ratio_range
+    det = jnp.round(size * (jax.random.uniform(key, (batch,)) * (b - a) + a))
+    det = jnp.maximum(det, 1.0)
+    radius = det / 2.0 + 0.5
+    cc = int(size / 2)
+    r = jnp.arange(size, dtype=jnp.float32)
+    d2 = (r[:, None] - cc) ** 2 + (r[None, :] - cc) ** 2
+    kern = (d2[None] < radius[:, None, None] ** 2).astype(jnp.float32)
+    return kern / jnp.sum(kern, axis=(1, 2), keepdims=True)
+
+
+def motion_kernels(
+    key: jax.Array,
+    batch: int,
+    size: int = 21,
+    ratio_range: Tuple[float, float] = (0.1, 1.0),
+) -> jnp.ndarray:
+    """Rotated-line motion kernels (`MotionBlur.make`, blur.py:53-87).
+
+    TPU-native reformulation: instead of warpAffine of an axis-aligned line,
+    rasterise the rotated line analytically - pixel weight = bilinear hat of
+    its signed distance to the line through the centre at angle theta,
+    restricted to an odd line length, then normalised.  Matches the
+    reference's intent (rotated 1-px line of random odd length).
+    """
+    k_deg, k_len, k_parity = jax.random.split(key, 3)
+    deg = 180.0 * jax.random.uniform(k_deg, (batch,))
+    theta = deg * jnp.pi / 180.0
+    a, b = ratio_range
+    det = jnp.round(size * (jax.random.uniform(k_len, (batch,)) * (b - a) + a))
+    det = jnp.maximum(det, 1.0)
+    # even -> odd (randomly +-1), blur.py:89-96
+    is_even = jnp.mod(det, 2.0) == 0.0
+    bump = jnp.where(jax.random.bernoulli(k_parity, 0.5, (batch,)), -1.0, 1.0)
+    length = jnp.where(is_even, det + bump, det)
+    length = jnp.clip(length, 1.0, size if size % 2 == 1 else size - 1)
+
+    h, v = _grid(size)  # x (columns), y (rows)
+    # direction of the line; cv2 rotates CCW for positive angles with image
+    # y-down, which flips the sign of the y component.
+    dx, dy = jnp.cos(theta), -jnp.sin(theta)
+    # distance perpendicular to the line and along the line
+    perp = jnp.abs(h[None] * (-dy[:, None, None]) + v[None] * dx[:, None, None])
+    along = jnp.abs(h[None] * dx[:, None, None] + v[None] * dy[:, None, None])
+    half = (length[:, None, None] - 1.0) / 2.0
+    w = jnp.clip(1.0 - perp, 0.0, 1.0) * (along <= half + 0.5)
+    w = jnp.where(jnp.sum(w, axis=(1, 2), keepdims=True) > 0, w, 0.0)
+    # guarantee the centre pixel so the kernel never degenerates
+    centre = jnp.zeros((size, size)).at[int((size - 1) / 2), int((size - 1) / 2)].set(1.0)
+    w = jnp.maximum(w, centre[None] * 1e-6)
+    return w / jnp.sum(w, axis=(1, 2), keepdims=True)
+
+
+def kernel_compound(kernel_a: jnp.ndarray, kernel_b: jnp.ndarray) -> jnp.ndarray:
+    """Convolve two batched kernels, renormalise (`blur.py:202-205`)."""
+    b, k, _ = kernel_a.shape
+    pad = (kernel_b.shape[-1] - 1) // 2
+    lhs = kernel_a[:, :, :, None]  # NHWC with C=1
+    rhs = kernel_b[:, :, :, None, None]  # (B,k,k,1,1)
+    out = jax.vmap(
+        lambda x, w: jax.lax.conv_general_dilated(
+            x[None], w, (1, 1), [(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )[0]
+    )(lhs, rhs)
+    out = out[..., 0]
+    return out / jnp.sum(out, axis=(1, 2), keepdims=True)
+
+
+def identity_kernels(batch: int, size: int) -> jnp.ndarray:
+    """Delta kernels for BLUR.FLAG=False (`crack_dataset.py:56-58`)."""
+    k = jnp.zeros((batch, size, size), jnp.float32)
+    return k.at[:, size // 2, size // 2].set(1.0)
+
+
+def batch_blur(images: jnp.ndarray, kernels: jnp.ndarray, stride: int = 1) -> jnp.ndarray:
+    """Per-sample depthwise blur: one conv for the whole batch.
+
+    Replaces the reference's per-sample Python loop
+    (`kbpn.py:395-402`, `sr_loss_functions.py:90-100`, `blur.py:182-200`)
+    with a single grouped convolution: reshape (B,H,W,C) -> (1,H,W,B*C) and
+    use feature_group_count=B*C so each sample convolves with its own kernel.
+
+    images: (B, H, W, C); kernels: (B, k, k). Returns (B, H', W', C) with
+    H' = floor((H + 2p - k)/stride) + 1, p = (k-1)//2 (torch F.conv2d parity).
+    """
+    b, h, w, c = images.shape
+    k = kernels.shape[-1]
+    pad = (k - 1) // 2
+    x = jnp.transpose(images, (1, 2, 0, 3)).reshape(1, h, w, b * c)
+    # torch F.conv2d cross-correlates; lax.conv_general_dilated does too.
+    wgt = jnp.repeat(kernels[:, None], c, axis=1)  # (B, C, k, k)
+    wgt = wgt.reshape(b * c, k, k)  # b-major, matching the input layout
+    wgt = jnp.transpose(wgt[..., None], (1, 2, 3, 0))  # (k, k, 1, B*C)
+    out = jax.lax.conv_general_dilated(
+        x.astype(jnp.float32),
+        wgt.astype(jnp.float32),
+        (stride, stride),
+        [(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=b * c,
+    )
+    ho, wo = out.shape[1], out.shape[2]
+    out = out.reshape(ho, wo, b, c).transpose(2, 0, 1, 3)
+    return out.astype(images.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale_factor", "method"))
+def degrade(
+    hr: jnp.ndarray,
+    kernels: jnp.ndarray,
+    scale_factor: int = 4,
+    method: str = "bicubic",
+) -> jnp.ndarray:
+    """Fused degradation: per-sample blur then /scale_factor downsample.
+
+    Mirrors CrackDataSet.__getitem__ (`crack_dataset.py:51-62`):
+    `conv_kernel2d` followed by FactorResize bicubic.
+    hr: (B, H, W, C) in [0,1]; kernels: (B, k, k) sum-1.
+    """
+    blurred = batch_blur(hr, kernels)
+    h, w = blurred.shape[1:3]
+    return resize(blurred, (h // scale_factor, w // scale_factor), method=method)

@@ -1,0 +1,27 @@
+"""Test config: run on CPU with 8 virtual devices.
+
+This is the TPU-native answer to "test multi-chip without a cluster"
+(SURVEY.md 4): the same `jax.sharding.Mesh` code paths compile and execute
+on 8 host-platform devices.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+# The axon TPU plugin ignores the env var; the config flag wins.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(1121)
