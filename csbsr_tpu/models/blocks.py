@@ -348,8 +348,22 @@ class SFTLayer(nn.Module):
         return features * scale + shift
 
 
+def _sft_branch(mdl_dtype, inp, out_features, final_act, name_prefix):
+    """Two ConvBlocks: (in->in, prelu) then (in->out, final_act); bias=True,
+    no norm (blocks.py:105-139)."""
+    in_ch = inp.shape[-1]
+    x = ConvBlock(
+        in_ch, 3, 1, 1, use_bias=True, activation="prelu", norm=None,
+        prelu_init=0.01, dtype=mdl_dtype, name=f"{name_prefix}0",
+    )(inp)
+    return ConvBlock(
+        out_features, 3, 1, 1, use_bias=True, activation=final_act, norm=None,
+        dtype=mdl_dtype, name=f"{name_prefix}1",
+    )(x)
+
+
 class SFTLikeBlock(nn.Module):
-    """blocks.py:105-120 (concat-style SFT used by PSPNet BlurSkip)."""
+    """blocks.py:105-120: SFT over concat(features, conditions)."""
 
     features: int
     dtype: Dtype = jnp.float32
@@ -357,22 +371,22 @@ class SFTLikeBlock(nn.Module):
     @nn.compact
     def __call__(self, x, cond):
         cat = jnp.concatenate([x, cond], axis=-1)
-        scale = nn.Conv(self.features, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype, name="scale_conv")(cat)
-        shift = nn.Conv(self.features, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype, name="shift_conv")(cat)
-        return x * nn.sigmoid(scale) + shift
+        scale = _sft_branch(self.dtype, cat, self.features, "sigmoid", "conv_scale")
+        shift = _sft_branch(self.dtype, cat, self.features, None, "conv_shift")
+        return x * scale + shift
 
 
 class SFTBlock(nn.Module):
-    """blocks.py:123-137 (condition-only SFT)."""
+    """blocks.py:123-139: SFT from conditions only."""
 
     features: int
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, cond):
-        scale = nn.Conv(self.features, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype, name="scale_conv")(cond)
-        shift = nn.Conv(self.features, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype, name="shift_conv")(cond)
-        return x * nn.sigmoid(scale) + shift
+        scale = _sft_branch(self.dtype, cond, self.features, "sigmoid", "conv_scale")
+        shift = _sft_branch(self.dtype, cond, self.features, None, "conv_shift")
+        return x * scale + shift
 
 
 # --------------------------------------------------------------------------

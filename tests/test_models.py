@@ -1,0 +1,73 @@
+"""Shape and init tests for the model zoo (tiny inputs, CPU)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+
+def _init_and_run(model, *args, train=False, rngs=None):
+    rngs = rngs or {"params": jax.random.PRNGKey(0)}
+    variables = model.init(rngs, *args, train=train)
+    out = model.apply(
+        variables, *args, train=train,
+        mutable=["batch_stats"] if train else False,
+        rngs={"dropout": jax.random.PRNGKey(1)} if train else None,
+    )
+    if train:
+        return out[0]
+    return out
+
+
+def test_dbpn_shapes():
+    from csbsr_tpu.models.dbpn import DBPN
+
+    x = jnp.zeros((1, 14, 14, 3))
+    for stages in (2, 4):
+        m = DBPN(scale_factor=4, num_stages=stages)
+        out = _init_and_run(m, x)
+        assert out.shape == (1, 56, 56, 3)
+
+
+def test_kbpn_shapes():
+    from csbsr_tpu.models.kbpn import KBPN
+
+    k = 7
+    m = KBPN(scale_factor=4, num_stages=2, estimate_ksize=k, ksize_output=k)
+    x = jnp.zeros((2, 14, 14, 3))
+    kv = jnp.ones((2, k * k)) / (k * k)
+    variables = m.init({"params": jax.random.PRNGKey(0)}, x, kv, False, train=False)
+    sr, kernel = m.apply(variables, x, kv, False, train=False)
+    assert sr.shape == (2, 56, 56, 3)
+    assert kernel.shape == (2, k * k)
+    # GT-kernel path must return the GT kernel unchanged (SR-pretrain window)
+    sr2, kernel2 = m.apply(variables, x, kv, True, train=False)
+    np.testing.assert_allclose(np.asarray(kernel2), np.asarray(kv), rtol=1e-5)
+
+
+def test_unet16_shapes():
+    from csbsr_tpu.models.unet import UNet16
+
+    for method in ("deconv", "pixel_shuffle", "interpolate"):
+        m = UNet16(up_sampling_method=method)
+        out = _init_and_run(m, jnp.zeros((1, 64, 64, 3)))
+        assert out.shape == (1, 64, 64, 1)
+        assert (np.asarray(out) >= 0).all() and (np.asarray(out) <= 1).all()
+
+
+def test_pspnet_shapes():
+    from csbsr_tpu.models.pspnet import PSPNet
+
+    m = PSPNet(n_classes=1)
+    main, aux = _init_and_run(m, jnp.zeros((1, 64, 64, 3)))
+    assert main.shape == (1, 64, 64, 1)
+    assert aux.shape == (1, 64, 64, 1)
+
+
+def test_pspnet_blurskip_shapes():
+    from csbsr_tpu.models.pspnet import PSPNetBlurSkip
+
+    m = PSPNetBlurSkip(n_classes=1)
+    kv = jnp.ones((1, 49)) / 49
+    main, aux = _init_and_run(m, jnp.zeros((1, 64, 64, 3)), kv)
+    assert main.shape == (1, 64, 64, 1)
+    assert aux.shape == (1, 64, 64, 1)
