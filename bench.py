@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Benchmark: flagship CSBSR (KBPN-4 + PSPNet) x4 SR+seg inference throughput.
+
+Measures images/sec/chip for 224x224 joint SR+segmentation outputs (the
+khanhha test protocol: 56x56 LR patches -> x4 SR -> segmentation), bf16
+compute, on whatever accelerator jax exposes (the driver runs it on one real
+TPU chip).
+
+Baseline: the reference publishes no throughput numbers (SURVEY.md 6).
+BASELINE.json's north star is ">=5x PyTorch-GPU-class images/sec/chip"; we
+take a PyTorch V100-class reference throughput for KBPN-4+PSPNet at 224^2 of
+~30 img/s (KBPN's per-sample Python kernel loops bound it), so
+vs_baseline = measured / 30.0.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+PYTORCH_GPU_CLASS_BASELINE_IMG_S = 30.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_cfg
+    from csbsr_tpu.models import model_from_cfg
+
+    cfg = _flagship_cfg()
+    model = model_from_cfg(cfg, dtype=jnp.bfloat16)
+
+    batch = 16  # LR patches per step (= 16 output images of 224x224)
+    rng = np.random.RandomState(0)
+    patches = jnp.asarray(rng.rand(batch, 56, 56, 3).astype(np.float32))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, patches, None, False, train=False)
+
+    @jax.jit
+    def infer(p):
+        out = model.apply(variables, p, None, False, train=False, clip_sr=True)
+        return out["sr"], out["seg"]
+
+    # warmup / compile
+    sr, seg = infer(patches)
+    jax.block_until_ready(sr)
+
+    n_iters = 30
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        sr, seg = infer(patches)
+    jax.block_until_ready(sr)
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = batch * n_iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "csbsr_pspnet_x4_sr_seg_inference",
+                "value": round(imgs_per_sec, 3),
+                "unit": "images/sec/chip (224x224 outputs)",
+                "vs_baseline": round(imgs_per_sec / PYTORCH_GPU_CLASS_BASELINE_IMG_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,186 @@
+"""Loss composition: model outputs + batch + phase -> scalar loss dict.
+
+Rebuild of the loss wiring in `build_model.py:149-317,370-438` and
+`trainer.py:406-464` as pure functions.  Static choices (which loss, which
+weights) come from the config at closure-build time; dynamic phase scalars
+(alpha, beta, pretrain windows) are traced inputs.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..losses import (
+    bce,
+    bce_dice,
+    binary_dice,
+    boundary_combo_loss,
+    boundary_gdice_loss,
+    generalized_boundary_combo_loss,
+    weighted_bce,
+    cross_entropy_loss_rcf,
+    l1_per_sample,
+    l2_per_sample,
+    kbpn_loss,
+    segment_failure_oriented_exp_weight,
+    crack_oriented_exp_weight,
+    fa_loss as fa_loss_fn,
+)
+
+
+def build_seg_loss(cfg) -> Callable:
+    """set_ss_loss (`build_model.py:280-317`) -> fn(pred, target, alpha) -> (B,)."""
+    name = cfg.SOLVER.SEG_LOSS_FUNC
+    pos_w = tuple(cfg.SOLVER.BCELOSS_WEIGHT)
+    loss_w = tuple(cfg.SOLVER.WB_AND_D_WEIGHT)
+    sfo_ss_amp = float(cfg.SOLVER.SEG_FAIL_ORIENTED_WEIGHT4SS_AMP)
+    per_pixel = sfo_ss_amp != 0.0 or bool(cfg.SOLVER.INTERM_SSLOSSWEGHT4SR)
+
+    if name == "BCE":
+        base = lambda p, t, a: bce(p, t)
+    elif name == "WeightedBCE":
+        base = lambda p, t, a: weighted_bce(p, t, pos_w)
+    elif name == "Dice":
+        base = lambda p, t, a: binary_dice(p, t)
+    elif name == "Combo":
+        base = lambda p, t, a: bce_dice(p, t, pos_w, loss_w)
+    elif name == "BoundaryCombo":
+        base = lambda p, t, a: boundary_combo_loss(p, t, a, pos_w, loss_w, per_pixel=per_pixel)
+    elif name == "Boundary_GDice":
+        base = lambda p, t, a: boundary_gdice_loss(p, t, a)
+    elif name == "GeneralizedBoundaryCombo":
+        base = lambda p, t, a: generalized_boundary_combo_loss(p, t, a, pos_w, loss_w)
+    elif name == "CrackFormerLoss":
+        base = lambda p, t, a: cross_entropy_loss_rcf(p, t)
+    else:
+        raise NotImplementedError(name)
+    return base, per_pixel
+
+
+def build_loss_fn(cfg) -> Callable:
+    """Returns pure fn(outputs, batch, phase) -> dict of scalar losses.
+
+    batch: {"lr": (B,h,w,3), "hr": (B,H,W,3), "seg": (B,H,W,1),
+            "kernel": (B,k,k)}
+    outputs: CSBSRModel outputs (sr, kernel vec, seg, aux).
+    """
+    seg_loss_fn, seg_per_pixel = build_seg_loss(cfg)
+    aux_w = float(cfg.SOLVER.SEG_AUX_LOSS_WEIGHT)
+    main_w = float(cfg.SOLVER.SEG_MAIN_LOSS_WEIGHT)
+    sr_loss_name = cfg.SOLVER.SR_LOSS_FUNC
+    kbpn_w = tuple(cfg.SOLVER.SR_LOSS_FUNC_SR_WEIGHT)
+    ksize_out = int(cfg.BLUR.KERNEL_SIZE_OUTPUT)
+    sf = int(cfg.MODEL.SCALE_FACTOR)
+    only_kernel = bool(cfg.SOLVER.ONLY_KERNEL_LOSS_FOR_PRETRAIN)
+    co_sr_amp = float(cfg.SOLVER.CRACK_ORIENTED_WEIGHT4SR_AMP)
+    sfo_sr_amp = float(cfg.SOLVER.SEG_FAIL_ORIENTED_WEIGHT4SR_AMP)
+    sfo_ss_amp = float(cfg.SOLVER.SEG_FAIL_ORIENTED_WEIGHT4SS_AMP)
+    w_iter = int(cfg.SOLVER.ORIENTED_WEIGHT_ITER)
+    interm_ss4sr = bool(cfg.SOLVER.INTERM_SSLOSSWEGHT4SR)
+    joint = bool(cfg.MODEL.JOINT_LEARNING)
+    sr_none = cfg.MODEL.SCALE_FACTOR == 1 or cfg.MODEL.SR == "bicubic"
+    sr_seg_inv = bool(cfg.MODEL.SR_SEG_INV)
+    downscale_method = cfg.SOLVER.DOWNSCALE_INTERPOLATION
+    detector = cfg.MODEL.DETECTOR_TYPE
+    is_dsrl = cfg.MODEL.SR == "DSRL"
+    dsrl_w = (float(cfg.SOLVER.DSRL_SR_WEIGHT), float(cfg.SOLVER.DSRL_FA_WEIGHT),
+              float(cfg.SOLVER.DSRL_SEG_WEIGHT))
+
+    def loss_fn(outputs, batch, phase) -> Dict[str, jnp.ndarray]:
+        it = phase["iteration"]
+        alpha = phase["alpha"]
+        seg_preds = outputs["seg"].astype(jnp.float32)
+        seg_targets = batch["seg"].astype(jnp.float32)
+
+        # ---- segmentation loss (calc_ss_loss, build_model.py:258-278)
+        seg_loss = seg_loss_fn(seg_preds, seg_targets, alpha)
+        if outputs.get("aux") is not None:
+            aux = outputs["aux"].astype(jnp.float32)
+            if detector == "CrackFormer":
+                # aux = stacked side maps; loss scaled by their count
+                # (build_model.py:264-266)
+                n_sides = aux.shape[-1]
+                tgt = jnp.broadcast_to(seg_targets, aux.shape)
+                aux_loss = seg_loss_fn(aux, tgt, alpha) * n_sides
+            else:
+                aux_loss = seg_loss_fn(aux, seg_targets, alpha)
+            seg_loss = main_w * seg_loss + aux_w * aux_loss
+
+        # ---- SR loss (calc_sr_loss, build_model.py:160-187)
+        kernel_2d = None
+        if sr_none:
+            sr_loss = jnp.zeros((seg_preds.shape[0],), jnp.float32)
+        elif sr_loss_name == "KBPN":
+            only_kernel_flag = phase["in_kernel_window"] if only_kernel else None
+            sr_loss, kernel_2d = kbpn_loss(
+                outputs["sr"].astype(jnp.float32),
+                batch["hr"].astype(jnp.float32),
+                batch["lr"].astype(jnp.float32),
+                outputs["kernel"].astype(jnp.float32),
+                batch["kernel"].astype(jnp.float32),
+                it,
+                ksize=ksize_out, scale_factor=sf, weights=kbpn_w,
+                only_kernel_loss_in_window=only_kernel_flag,
+                segment_preds=seg_preds, segment_targets=seg_targets,
+                co_amp=co_sr_amp, sfo_amp=sfo_sr_amp, weight_iter=w_iter,
+                downscale_method=downscale_method,
+            )
+        else:
+            tgt = batch["seg" if sr_seg_inv else "hr"].astype(jnp.float32)
+            fn = l1_per_sample if sr_loss_name == "L1" else l2_per_sample
+            sr_loss = fn(outputs["sr"].astype(jnp.float32), tgt)
+            # multiple_weight for non-KBPN (build_model.py:422-438); per-pixel
+            # weights are folded before the per-sample reduction.
+            if co_sr_amp != 0.0 or sfo_sr_amp != 0.0:
+                per_map = jnp.abs(outputs["sr"].astype(jnp.float32) - tgt)
+                if co_sr_amp != 0.0:
+                    per_map = crack_oriented_exp_weight(seg_targets, co_sr_amp) * per_map
+                if sfo_sr_amp != 0.0:
+                    per_map = (
+                        segment_failure_oriented_exp_weight(seg_preds, seg_targets, sfo_sr_amp)
+                        * per_map
+                    )
+                sr_loss = jnp.where(it >= w_iter, jnp.mean(per_map, axis=(1, 2, 3)), sr_loss)
+
+        # ---- failure-oriented seg weight (build_model.py:433-434)
+        if sfo_ss_amp != 0.0:
+            w = segment_failure_oriented_exp_weight(seg_preds, seg_targets, sfo_ss_amp)
+            seg_loss = jnp.mean(w * seg_loss, axis=(1, 2, 3)) if seg_per_pixel else seg_loss
+        elif seg_per_pixel:
+            seg_loss = jnp.mean(seg_loss, axis=(1, 2, 3))
+
+        # ---- intermediate seg-loss weighting of SR (build_model.py:435-437)
+        if interm_ss4sr:
+            sr_loss = jnp.mean(jax.lax.stop_gradient(seg_loss)) * sr_loss
+
+        seg_mean = jnp.mean(seg_loss)
+        sr_mean = jnp.mean(sr_loss)
+
+        # ---- DSRL combiner (trainer.py:440-452): w_sr*sr + w_fa*fa + w_seg*seg
+        if is_dsrl:
+            fa = fa_loss_fn(outputs["fea_seg"].astype(jnp.float32),
+                            outputs["fea_sr"].astype(jnp.float32))
+            total = dsrl_w[0] * sr_mean + dsrl_w[1] * fa + dsrl_w[2] * seg_mean
+            total = jnp.where(phase["in_sr_pretrain"], sr_mean, total)
+            total = jnp.where(phase["in_seg_pretrain"], seg_mean, total)
+            return {"total": total, "seg_loss": seg_mean, "sr_loss": sr_mean,
+                    "fa_loss": fa}
+
+        # ---- combiner (trainer.py:406-438)
+        if sr_none:
+            total = seg_mean
+        elif joint:
+            total = (1.0 - phase["w_task"]) * sr_mean + phase["w_task"] * seg_mean
+        else:
+            total = sr_mean if sr_seg_inv else seg_mean
+        total = jnp.where(phase["in_sr_pretrain"], sr_mean, total)
+        total = jnp.where(phase["in_seg_pretrain"], seg_mean, total)
+
+        out = {"total": total, "seg_loss": seg_mean, "sr_loss": sr_mean}
+        if kernel_2d is not None:
+            out["kernel_pred_2d"] = kernel_2d
+        return out
+
+    return loss_fn

@@ -1,0 +1,226 @@
+"""Training engine: host loop around the jitted, mesh-sharded train step.
+
+Rebuild of `/root/reference/model/engine/trainer.py` (do_train/do_pretrain_sr).
+Differences by design:
+  - degradation (kernel synthesis + blur + bicubic /SF) is fused into the
+    jitted step on device (cfg.TPU.DEGRADE_ON_DEVICE) instead of running in
+    dataloader workers on CUDA (`crack_dataset.py:51-62`);
+  - phases/alpha/beta are pure functions of the step counter (engine.phase);
+  - DataParallel+SyncBN are replaced by sharding the batch over the mesh.
+Checkpointing: orbax, `OUTPUT_DIR/checkpoints/<iteration>` with model,
+optimizer and step (the reference writes iteration_<n>.pth pairs,
+trainer.py:117-131).
+"""
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.blur import gaussian_kernels, identity_kernels, degrade
+from ..ops.resize import resize
+from ..metrics.device_metrics import psnr, ssim, iou_thresholds, kernel_psnr
+from ..parallel.mesh import make_mesh, shard_batch, batch_sharding
+from .phase import phase_config_from_cfg, compute_phase
+from .losses_glue import build_loss_fn
+from .train_state import (
+    TrainState,
+    create_train_state,
+    grad_group_ids,
+    make_train_step,
+)
+
+
+def make_degrade_fn(cfg):
+    """Device-side batch degradation: (hr, key) -> (lr, kernels)."""
+    sf = int(cfg.MODEL.SCALE_FACTOR)
+    ksize = int(cfg.BLUR.KERNEL_SIZE_OUTPUT)
+    blur_flag = bool(cfg.BLUR.FLAG)
+    isotropic = bool(cfg.BLUR.ISOTROPIC)
+    method = cfg.SOLVER.DOWNSCALE_INTERPOLATION
+
+    def fn(hr, key):
+        b = hr.shape[0]
+        if blur_flag:
+            kernels = gaussian_kernels(key, b, ksize, (0.2, 4.0), isotropic=isotropic)
+        else:
+            kernels = identity_kernels(b, ksize)
+        blurred_lr = degrade(hr, kernels, sf, method)
+        return blurred_lr, kernels
+
+    return fn
+
+
+def build_train_step(cfg, model, pc, group_ids):
+    """Compose degradation + model step into one jitted function."""
+    loss_fn = build_loss_fn(cfg)
+    base_step = make_train_step(cfg, model, loss_fn, pc, group_ids)
+    degrade_fn = make_degrade_fn(cfg)
+    degrade_on_device = bool(cfg.TPU.DEGRADE_ON_DEVICE)
+
+    def step(state, batch, key):
+        if degrade_on_device and "lr" not in batch:
+            dkey = jax.random.fold_in(key, 7)
+            lr, kernels = degrade_fn(batch["hr"], dkey)
+            batch = dict(batch, lr=lr, kernel=kernels)
+        return base_step(state, batch, key)
+
+    return step
+
+
+def build_eval_step(cfg, model):
+    """Jitted eval: forward (no dropout, running BN stats) + metrics.
+
+    Mirrors the in-training eval loop (trainer.py:133-250): clipped SR
+    PSNR/SSIM, kernel PSNR, IoU at 0.5.
+    """
+    ksize = int(cfg.BLUR.KERNEL_SIZE_OUTPUT)
+
+    def eval_step(state: TrainState, batch):
+        kernel_vec = batch["kernel"].reshape(batch["kernel"].shape[0], -1)
+        outputs = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["lr"], kernel_vec, False,
+            sr_targets=batch.get("hr"), train=False, clip_sr=True,
+        )
+        sr = jnp.clip(outputs["sr"].astype(jnp.float32), 0.0, 1.0)
+        hr = batch["hr"].astype(jnp.float32)
+        m = {
+            "psnr": psnr(sr, hr),
+            "ssim": ssim(sr, hr),
+            "iou@0.5": iou_thresholds(
+                outputs["seg"].astype(jnp.float32), batch["seg"].astype(jnp.float32),
+                jnp.asarray([0.5], jnp.float32),
+            )[:, 0],
+        }
+        # kernel PSNR on clipped sum-1 kernels (trainer.py:154-158 semantics)
+        kvec = outputs["kernel"].astype(jnp.float32)
+        kvec = kvec / jnp.sum(kvec, axis=-1, keepdims=True)
+        k2d = jnp.clip(kvec.reshape(-1, ksize, ksize, 1), 0.0, 1.0)
+        kt = jnp.clip(batch["kernel"].astype(jnp.float32)[..., None], 0.0, 1.0)
+        m["kernel_psnr"] = psnr(k2d, kt)
+        return m, outputs
+
+    return eval_step
+
+
+def save_checkpoint(output_dir: str, state: TrainState, iteration: int):
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(output_dir, "checkpoints", str(iteration)))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(
+        path,
+        {
+            "params": jax.device_get(state.params),
+            "batch_stats": jax.device_get(state.batch_stats),
+            "opt_state": jax.device_get(state.opt_state),
+            "step": int(state.step),
+        },
+        force=True,
+    )
+    ckptr.wait_until_finished()
+    return path
+
+
+def restore_checkpoint(output_dir: str, state: TrainState, iteration: int) -> TrainState:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(output_dir, "checkpoints", str(iteration)))
+    ckptr = ocp.StandardCheckpointer()
+    template = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "opt_state": jax.device_get(state.opt_state),
+        "step": 0,
+    }
+    restored = ckptr.restore(path, template)
+    return state.replace(
+        params=restored["params"],
+        batch_stats=restored["batch_stats"],
+        opt_state=restored["opt_state"],
+        step=jnp.asarray(restored["step"], jnp.int32),
+    )
+
+
+def do_train(
+    cfg,
+    model,
+    train_loader,
+    eval_batches=None,
+    *,
+    resume_iter: int = 0,
+    log_step: int = 50,
+    save_step: int = 2000,
+    eval_step_every: int = 2000,
+    num_train_ds: Optional[int] = None,
+    mesh=None,
+    debug: bool = False,
+    log_fn=print,
+):
+    """The hot loop (trainer.py:26-250)."""
+    mesh = mesh or make_mesh(cfg.TPU.MESH_SHAPE, cfg.TPU.MESH_AXES)
+    pc = phase_config_from_cfg(cfg, num_train_ds or len(train_loader))
+
+    # init from the first batch
+    it_loader = iter(train_loader)
+    first = next(it_loader)
+    degrade_fn = jax.jit(make_degrade_fn(cfg))
+    rng = jax.random.PRNGKey(cfg.SEED)
+    lr0, k0 = degrade_fn(jnp.asarray(first["hr"]), rng)
+    sample = dict(first, lr=lr0, kernel=k0)
+    state = create_train_state(cfg, model, rng, sample, pc)
+    if resume_iter:
+        state = restore_checkpoint(cfg.OUTPUT_DIR, state, resume_iter)
+
+    group_ids = grad_group_ids(state.params)
+    step_fn = jax.jit(build_train_step(cfg, model, pc, group_ids), donate_argnums=(0,))
+    eval_fn = jax.jit(build_eval_step(cfg, model)) if eval_batches is not None else None
+
+    logging = {"loss": 0.0, "seg_loss": 0.0, "sr_loss": 0.0}
+    tic = time.time()
+    iteration = resume_iter
+
+    for batch in _chain_first(first, it_loader):
+        iteration += 1
+        key = jax.random.fold_in(rng, iteration)
+        hb = shard_batch({k: jnp.asarray(v) for k, v in batch.items()}, mesh)
+        state, metrics = step_fn(state, hb, key)
+
+        for k in ("loss", "seg_loss", "sr_loss"):
+            logging[k] += float(metrics[k])
+        if iteration % log_step == 0:
+            n = log_step
+            log_fn(
+                f"===> Iter: {iteration:07d}, Cost: {time.time()-tic:.2f}s, "
+                f"Loss: {logging['loss']/n:.6f}, Segment_Loss({cfg.SOLVER.SEG_LOSS_FUNC}): "
+                f"{logging['seg_loss']/n:.6f}, SR_Loss({cfg.SOLVER.SR_LOSS_FUNC}): "
+                f"{logging['sr_loss']/n:.6f}, alpha: {float(metrics['alpha']):.3f}"
+            )
+            logging = {k: 0.0 for k in logging}
+            tic = time.time()
+
+        if save_step and iteration % save_step == 0 and not debug:
+            path = save_checkpoint(cfg.OUTPUT_DIR, state, iteration)
+            log_fn(f"=====> Save Checkpoint to {path}")
+
+        if eval_fn is not None and eval_step_every and iteration % eval_step_every == 0:
+            scores: Dict[str, list] = {}
+            for eb in eval_batches:
+                m, _ = eval_fn(state, shard_batch({k: jnp.asarray(v) for k, v in eb.items()}, mesh))
+                for k, v in m.items():
+                    scores.setdefault(k, []).append(np.asarray(v))
+            means = {k: float(np.concatenate(v).mean()) for k, v in scores.items()}
+            log_fn(f"=====> Eval @ {iteration}: " + ", ".join(f"{k}={v:.4f}" for k, v in means.items()))
+
+    return state
+
+
+def _chain_first(first, rest):
+    yield first
+    yield from rest

@@ -1,0 +1,274 @@
+"""CrackFormer - SegNet-shaped transformer segmentation head.
+
+Rebuild of `/root/reference/model/modeling/crackformer.py` (CrackFormer-II):
+5 Down / 5 Up stages of bottlenecked TFBlocks (local self-attention +
+convolutional MLP, GroupNorm everywhere), max-pool-with-indices /
+MaxUnpool pairs, 5 attention-gated side outputs fused into the final map.
+
+Returns (sigmoid(fuse), sides) where sides stacks the 5 sigmoid side maps on
+the channel axis (the aux target, `build_model.py:264-266`).
+
+Faithfulness notes:
+  - Down3/4/5 and Up3/4/5 declare a third block but the reference calls the
+    second block twice (`crackformer.py:296,316`); we reuse the same module
+    twice to match.
+  - GELU is exact (erf), GroupNorm groups = C//4, eps 1e-5 (torch defaults).
+  - MaxUnpool uses window-local argmax one-hots (blocks.max_unpool).
+"""
+from __future__ import annotations
+
+from typing import Any, List, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .blocks import max_pool_with_indices, max_unpool
+from ..ops.resize import resize
+
+_GELU = lambda x: nn.gelu(x, approximate=False)
+
+
+def _gn(c: int, dtype, name):
+    return nn.GroupNorm(num_groups=max(c // 4, 1), epsilon=1e-5, dtype=dtype, name=name)
+
+
+class Mlp(nn.Module):
+    """crackformer.py:37-79: 1x1 -> GN -> dwconv3x3 -> GN -> GELU -> 1x1 -> GN."""
+
+    out_features: int
+    drop: float = 0.3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        hidden = self.out_features // 4
+        x = nn.Conv(hidden, (1, 1), dtype=self.dtype, name="fc1")(x)
+        x = _gn(hidden, self.dtype, "gn1")(x)
+        x = nn.Conv(hidden, (3, 3), padding=[(1, 1)] * 2,
+                    feature_group_count=max(hidden // 4, 1),
+                    dtype=self.dtype, name="dwconv")(x)
+        x = _gn(hidden, self.dtype, "gn2")(x)
+        x = _GELU(x)
+        x = nn.Dropout(self.drop, deterministic=not train)(x)
+        x = nn.Conv(self.out_features, (1, 1), dtype=self.dtype, name="fc2")(x)
+        x = _gn(self.out_features, self.dtype, "gn3")(x)
+        x = nn.Dropout(self.drop, deterministic=not train)(x)
+        return x
+
+
+class LocalSABlock(nn.Module):
+    """crackformer.py:82-120: linear-attention content + local conv context.
+
+    u=1 fixed (as used).  The torch conv3d positional embedding (kk filters
+    of m x m applied per value-channel) becomes a 2-D conv with the value
+    channel folded into the batch.
+    """
+
+    out_channels: int
+    heads: int = 4
+    k: int = 16
+    m: int = 7
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, _ = x.shape
+        kk, heads = self.k, self.heads
+        vv = self.out_channels // heads
+        n = h * w
+        conv_gn = lambda c, name: _gn(c, self.dtype, f"{name}_gn")(
+            nn.Conv(c, (1, 1), use_bias=False, dtype=self.dtype, name=f"{name}_conv")(x)
+        )
+        queries = conv_gn(kk * heads, "queries").reshape(b, n, heads, kk)
+        keys = conv_gn(kk, "keys").reshape(b, n, kk)
+        values = conv_gn(vv, "values").reshape(b, n, vv)
+
+        softmax = jax.nn.softmax(keys, axis=1)  # torch softmax over w*h (dim=-1)
+        content = jnp.einsum("bnk,bnv->bkv", softmax, values)
+        content = jnp.einsum("bnhk,bkv->bnhv", queries, content)
+
+        emb = self.param(
+            "embedding",
+            nn.initializers.normal(1.0),
+            (self.m, self.m, 1, kk),
+        ).astype(self.dtype)
+        v2d = values.reshape(b, h, w, vv)
+        v2d = jnp.moveaxis(v2d, -1, 1).reshape(b * vv, h, w, 1)
+        pad = (self.m - 1) // 2
+        ctx = jax.lax.conv_general_dilated(
+            v2d, emb, (1, 1), [(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )  # (b*vv, h, w, kk)
+        ctx = ctx.reshape(b, vv, n, kk)
+        context = jnp.einsum("bnhk,bvnk->bnhv", queries, ctx)
+
+        out = content + context  # (b, n, heads, vv)
+        return out.reshape(b, h, w, heads * vv)
+
+
+class TFBlock(nn.Module):
+    """crackformer.py:123-158 (drop_path=0 => identity)."""
+
+    out_channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x + LocalSABlock(self.out_channels, dtype=self.dtype, name="attn")(x)
+        x = x + Mlp(self.out_channels, dtype=self.dtype, name="mlp")(x, train)
+        return x
+
+
+class Bottleneck(nn.Module):
+    """crackformer.py:161-186."""
+
+    planes: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_planes = x.shape[-1]
+        hidden = max(self.planes, in_planes) // 4
+        out = nn.Conv(hidden, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
+        out = _GELU(_gn(hidden, self.dtype, "bn1")(out))
+        out = TFBlock(hidden, dtype=self.dtype, name="tf")(out, train)
+        out = _GELU(out)
+        out = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(out)
+        out = _GELU(_gn(self.planes, self.dtype, "bn3")(out))
+        if in_planes != self.planes:
+            sc = nn.Conv(self.planes, (1, 1), dtype=self.dtype, name="shortcut_conv")(x)
+            sc = _gn(self.planes, self.dtype, "shortcut_gn")(sc)
+        else:
+            sc = x
+        return out + sc
+
+
+class TransEB(nn.Module):
+    """crackformer.py:189-197: Bottleneck + GELU."""
+
+    planes: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return _GELU(Bottleneck(self.planes, dtype=self.dtype, name="conv")(x, train))
+
+
+class LABlock(nn.Module):
+    """crackformer.py:209-231: attention gate over summed scale features."""
+
+    out_channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs: Sequence[jnp.ndarray]):
+        s = sum(inputs)
+        s = _GELU(s)
+        out = nn.Conv(self.out_channels, (3, 3), padding=[(1, 1)] * 2,
+                      dtype=self.dtype, name="W1_conv")(s)
+        out = _gn(self.out_channels, self.dtype, "W1_gn")(out)
+        psi = nn.Conv(self.out_channels, (3, 3), padding=[(1, 1)] * 2,
+                      dtype=self.dtype, name="psi_conv")(out)
+        psi = _gn(self.out_channels, self.dtype, "psi_gn")(psi)
+        return nn.sigmoid(psi)
+
+
+class Fuse(nn.Module):
+    """crackformer.py:234-248: side-output fusion + upsample."""
+
+    scale: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, down_inp, up_inp, attention):
+        out = jnp.concatenate([down_inp, up_inp], axis=-1)
+        out = nn.Conv(64, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype, name="nn_conv")(out)
+        out = nn.relu(out)
+        out = attention * out
+        out = nn.Conv(1, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype, name="conv")(out)
+        if self.scale != 1:
+            h, w = out.shape[1] * self.scale, out.shape[2] * self.scale
+            out = resize(out, (h, w), method="bilinear")
+        return out
+
+
+class CrackFormer(nn.Module):
+    """crackformer.py:421-488. Returns (sigmoid(fuse), sides(B,H,W,5))."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        teb = lambda planes, name: TransEB(planes, dtype=self.dtype, name=name)
+
+        # ---- encoder
+        s1_1 = nn.relu(nn.Conv(64, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype,
+                               name="down1_nn1")(x))
+        s1_2 = teb(64, "down1_nn2")(s1_1, train)
+        out, idx1 = max_pool_with_indices(s1_2)
+
+        s2_1 = teb(128, "down2_nn1")(out, train)
+        s2_2 = teb(128, "down2_nn2")(s2_1, train)
+        out, idx2 = max_pool_with_indices(s2_2)
+
+        s3_1 = teb(256, "down3_nn1")(out, train)
+        nn2_d3 = teb(256, "down3_nn2")
+        s3_2 = nn2_d3(s3_1, train)
+        s3_3 = nn2_d3(s3_2, train)  # reference reuses nn2 (crackformer.py:296)
+        out, idx3 = max_pool_with_indices(s3_3)
+
+        s4_1 = teb(512, "down4_nn1")(out, train)
+        nn2_d4 = teb(512, "down4_nn2")
+        s4_2 = nn2_d4(s4_1, train)
+        s4_3 = nn2_d4(s4_2, train)
+        out, idx4 = max_pool_with_indices(s4_3)
+
+        s5_1 = teb(512, "down5_nn1")(out, train)
+        nn2_d5 = teb(512, "down5_nn2")
+        s5_2 = nn2_d5(s5_1, train)
+        s5_3 = nn2_d5(s5_2, train)
+        out, idx5 = max_pool_with_indices(s5_3)
+
+        # ---- decoder
+        up = max_unpool(out, idx5)
+        s5_4 = teb(512, "up5_nn1")(up, train)
+        s5_5 = teb(512, "up5_nn2")(s5_4, train)
+        up5 = teb(512, "up5_nn3")(s5_5, train)
+
+        up = max_unpool(up5, idx4)
+        s4_4 = teb(512, "up4_nn1")(up, train)
+        s4_5 = teb(512, "up4_nn2")(s4_4, train)
+        up4 = teb(256, "up4_nn3")(s4_5, train)
+
+        up = max_unpool(up4, idx3)
+        s3_4 = teb(256, "up3_nn1")(up, train)
+        s3_5 = teb(256, "up3_nn2")(s3_4, train)
+        up3 = teb(128, "up3_nn3")(s3_5, train)
+
+        up = max_unpool(up3, idx2)
+        s2_3 = teb(128, "up2_nn1")(up, train)
+        up2 = teb(64, "up2_nn2")(s2_3, train)
+
+        up = max_unpool(up2, idx1)
+        s1_3 = teb(64, "up1_nn1")(up, train)
+        up1 = teb(64, "up1_nn2")(s1_3, train)
+
+        # ---- attention gates
+        att1 = LABlock(64, dtype=self.dtype, name="LABlock_1")([s1_1, s1_3])
+        att2 = LABlock(64, dtype=self.dtype, name="LABlock_2")([s2_1, s2_3])
+        att3 = LABlock(64, dtype=self.dtype, name="LABlock_3")([s3_1, s3_2, s3_4, s3_5])
+        att4 = LABlock(64, dtype=self.dtype, name="LABlock_4")([s4_1, s4_2, s4_4, s4_5])
+        att5 = LABlock(64, dtype=self.dtype, name="LABlock_5")([s5_1, s5_2, s5_4, s5_5])
+
+        # ---- side fusion
+        f5 = Fuse(16, dtype=self.dtype, name="fuse5")(s5_3, up5, att5)
+        f4 = Fuse(8, dtype=self.dtype, name="fuse4")(s4_3, up4, att4)
+        f3 = Fuse(4, dtype=self.dtype, name="fuse3")(s3_3, up3, att3)
+        f2 = Fuse(2, dtype=self.dtype, name="fuse2")(s2_2, up2, att2)
+        f1 = Fuse(1, dtype=self.dtype, name="fuse1")(s1_2, up1, att1)
+
+        cat = jnp.concatenate([f5, f4, f3, f2, f1], axis=-1)
+        fuse = nn.Conv(1, (1, 1), dtype=self.dtype, name="final")(cat)
+        sides = jnp.concatenate([nn.sigmoid(f) for f in (f5, f4, f3, f2, f1)], axis=-1)
+        return nn.sigmoid(fuse), sides

@@ -1,0 +1,180 @@
+"""DSRL - parallel SR + segmentation baseline (DeepLabV3+).
+
+Rebuild of `/root/reference/model/modeling/DSRL/` (deeplab.py, aspp.py,
+decoder.py, sr_decoder.py, backbone/resnet.py): ResNet-101 (output stride
+16, multi-grid layer4) -> ASPP -> seg decoder (sigmoid) + SR decoder (64ch)
+-> EDSR-style x2/x4 deconv upsample chain.  Returns
+(seg, sr, fea_seg, fea_sr) like `deeplab.py:62-80,159-180`.
+"""
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops.resize import resize, adaptive_avg_pool
+
+
+def _bn(train, dtype, name):
+    return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                        dtype=dtype, name=name)
+
+
+class _Bottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    use_downsample: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        d = self.dilation
+        out = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
+        out = nn.relu(_bn(train, self.dtype, "bn1")(out))
+        out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
+                      padding=[(d, d)] * 2, kernel_dilation=(d, d), use_bias=False,
+                      dtype=self.dtype, name="conv2")(out)
+        out = nn.relu(_bn(train, self.dtype, "bn2")(out))
+        out = nn.Conv(self.planes * 4, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(out)
+        out = _bn(train, self.dtype, "bn3")(out)
+        if self.use_downsample:
+            res = nn.Conv(self.planes * 4, (1, 1), strides=(self.stride, self.stride),
+                          use_bias=False, dtype=self.dtype, name="ds_conv")(x)
+            res = _bn(train, self.dtype, "ds_bn")(res)
+        else:
+            res = x
+        return nn.relu(out + res)
+
+
+class ResNet101OS16(nn.Module):
+    """backbone/resnet.py:45-147, output_stride=16: strides (1,2,2,1),
+    dilations (1,1,1,2), layer4 multi-grid (1,2,4)."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3)] * 2, use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        x = nn.relu(_bn(train, self.dtype, "bn1")(x))
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+        def layer(x, planes, blocks, stride, dilation, name, grid=None):
+            for b in range(blocks):
+                s = stride if b == 0 else 1
+                d = dilation * (grid[b] if grid else 1)
+                use_ds = b == 0 and (s != 1 or x.shape[-1] != planes * 4)
+                x = _Bottleneck(planes, s, d, use_ds, dtype=self.dtype,
+                                name=f"{name}_{b}")(x, train)
+            return x
+
+        x = layer(x, 64, 3, 1, 1, "layer1")
+        low = x  # 256ch @ /4
+        x = layer(x, 128, 4, 2, 1, "layer2")
+        x = layer(x, 256, 23, 2, 1, "layer3")
+        x = layer(x, 512, 3, 1, 2, "layer4", grid=(1, 2, 4))
+        return x, low
+
+
+class ASPP(nn.Module):
+    """aspp.py:34-95 (os16: rates 1,6,12,18 + image pooling)."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        outs = []
+        for i, (k, d) in enumerate([(1, 1), (3, 6), (3, 12), (3, 18)]):
+            p = (k // 2) * d
+            a = nn.Conv(256, (k, k), padding=[(p, p)] * 2, kernel_dilation=(d, d),
+                        use_bias=False, dtype=self.dtype, name=f"aspp{i+1}_conv")(x)
+            outs.append(nn.relu(_bn(train, self.dtype, f"aspp{i+1}_bn")(a)))
+        g = adaptive_avg_pool(x, (1, 1))
+        g = nn.Conv(256, (1, 1), use_bias=False, dtype=self.dtype, name="gap_conv")(g)
+        g = nn.relu(_bn(train, self.dtype, "gap_bn")(g))
+        g = jnp.broadcast_to(g, (x.shape[0], x.shape[1], x.shape[2], 256))
+        out = jnp.concatenate(outs + [g], axis=-1)
+        out = nn.Conv(256, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(out)
+        out = nn.relu(_bn(train, self.dtype, "bn1")(out))
+        return nn.Dropout(0.5, deterministic=not train)(out)
+
+
+class _Decoder(nn.Module):
+    """decoder.py / sr_decoder.py (they share structure; the SR variant ends
+    in 64 channels, the seg variant in num_classes + sigmoid)."""
+
+    out_channels: int
+    mid2: int
+    sigmoid_out: bool
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, low, train=False):
+        low = nn.Conv(48, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(low)
+        low = nn.relu(_bn(train, self.dtype, "bn1")(low))
+        x = resize(x, low.shape[1:3], method="bilinear", align_corners=True)
+        x = jnp.concatenate([x, low], axis=-1)
+        x = nn.Conv(256, (3, 3), padding=[(1, 1)] * 2, use_bias=False, dtype=self.dtype,
+                    name="last0")(x)
+        x = nn.relu(_bn(train, self.dtype, "last0_bn")(x))
+        x = nn.Dropout(0.5, deterministic=not train)(x)
+        x = nn.Conv(self.mid2, (3, 3), padding=[(1, 1)] * 2, use_bias=False,
+                    dtype=self.dtype, name="last1")(x)
+        x = nn.relu(_bn(train, self.dtype, "last1_bn")(x))
+        x = nn.Dropout(0.1, deterministic=not train)(x)
+        x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="last2")(x)
+        return nn.sigmoid(x) if self.sigmoid_out else x
+
+
+class _EDSRConv(nn.Module):
+    """deeplab.py:10-26."""
+
+    out_ch: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Conv(self.out_ch, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype, name="conv0")(x)
+        y = nn.relu(y)
+        y = nn.Conv(self.out_ch, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype, name="conv1")(y)
+        res = nn.Conv(self.out_ch, (1, 1), use_bias=False, dtype=self.dtype, name="res")(x)
+        return y + res
+
+
+class DSRL(nn.Module):
+    """deeplab.py DeepLab/DeepLabx4: scale_factor 2 or 4 deconv chain.
+
+    Returns (seg, sr, fea_seg, fea_sr) at scale_factor * input resolution.
+    """
+
+    num_classes: int = 1
+    scale_factor: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, ...]:
+        feats, low = ResNet101OS16(dtype=self.dtype, name="backbone")(x, train)
+        a = ASPP(dtype=self.dtype, name="aspp")(feats, train)
+        seg = _Decoder(self.num_classes, 256, True, dtype=self.dtype, name="decoder")(a, low, train)
+        sr = _Decoder(64, 128, False, dtype=self.dtype, name="sr_decoder")(a, low, train)
+
+        out_hw = (x.shape[1] * self.scale_factor, x.shape[2] * self.scale_factor)
+        seg_up = resize(seg, x.shape[1:3], method="bilinear", align_corners=True)
+        seg_up = resize(seg_up, out_hw, method="bilinear", align_corners=True)
+
+        # EDSR chain: /4 decoder output -> x(scale_factor * 4) via 2x deconvs
+        chans = [64, 64, 32, 16] if self.scale_factor == 4 else [64, 32, 16]
+        sr_up = sr
+        for i, ch in enumerate(chans):
+            # torch ConvTranspose2d(2, stride=2, padding=0) => lax pad k-1-p=1
+            sr_up = nn.ConvTranspose(ch, (2, 2), strides=(2, 2), padding=[(1, 1)] * 2,
+                                     transpose_kernel=True, dtype=self.dtype,
+                                     name=f"up_sr_{i}")(sr_up)
+            sr_up = _EDSRConv(ch, dtype=self.dtype, name=f"up_edsr_{i}")(sr_up)
+        sr_up = nn.Conv(3, (1, 1), dtype=self.dtype, name="up_conv_last")(sr_up)
+
+        fea_seg = nn.Conv(3, (1, 1), dtype=self.dtype, name="pointwise_conv")(seg_up)
+        fea_seg = nn.relu(_bn(train, self.dtype, "pointwise_bn")(fea_seg))
+        return seg_up, sr_up, fea_seg, sr_up

@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Test CLI.
+
+Rebuild of `/root/reference/test.py`: reconstructs the config from
+`<test_dir>/config.yaml`, resolves the checkpoint by iteration number or
+name, builds the inference model, runs the AIU/PSNR/SSIM/HD harness.
+
+Usage:
+  python test.py <test_dir> <iteration|weight_name> [--test_aiu] ...
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="CSBSR-TPU evaluation")
+    p.add_argument("test_dir", type=str)
+    p.add_argument("trained_iter", type=str)
+    p.add_argument("--output_dirname", type=str, default="")
+    p.add_argument("--config_file", type=str, default="")
+    p.add_argument("--test_aiu", action="store_true", default=True)
+    p.add_argument("--no_test_aiu", dest="test_aiu", action="store_false")
+    p.add_argument("--test_surface_distance", action="store_true")
+    p.add_argument("--sf_save_image", action="store_true")
+    p.add_argument("--test_blured_name", type=str, default="")
+    p.add_argument("opts", default=None, nargs=argparse.REMAINDER)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from csbsr_tpu.config import get_cfg_defaults
+
+    cfg = get_cfg_defaults()
+    cfg_path = args.config_file or os.path.join(args.test_dir, "config.yaml")
+    if os.path.isfile(cfg_path):
+        cfg.merge_from_file(cfg_path)
+    if args.test_blured_name:
+        cfg.DATASET.TEST_BLURED_NAME = args.test_blured_name
+    if args.opts:
+        cfg.merge_from_list(args.opts)
+
+    # path conventions (reference test.py:105-126)
+    if args.trained_iter.isdigit():
+        ckpt_dir = os.path.join(args.test_dir, "checkpoints", args.trained_iter)
+        tag = f"iter_{args.trained_iter}"
+    else:
+        ckpt_dir = os.path.join(args.test_dir, args.trained_iter)
+        tag = args.trained_iter
+    output_dirname = args.output_dirname or os.path.join(
+        args.test_dir, "eval", cfg.DATASET.TEST_BLURED_NAME, tag
+    )
+    cfg.OUTPUT_DIR = output_dirname
+    cfg.freeze()
+
+    import jax
+    import orbax.checkpoint as ocp
+    from csbsr_tpu.data import CrackDataSetTest
+    from csbsr_tpu.engine.inference import inference_for_ss
+    from csbsr_tpu.models import model_from_cfg
+
+    model = model_from_cfg(cfg)
+    # template-free restore of the saved pytree
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(os.path.abspath(ckpt_dir))
+    variables = {"params": restored["params"], "batch_stats": restored.get("batch_stats", {})}
+
+    dataset = CrackDataSetTest(
+        cfg,
+        cfg.DATASET.TEST_IMAGE_DIR,
+        cfg.DATASET.TEST_MASK_DIR,
+        cfg.DATASET.TEST_BLURED_DIR,
+        cfg.DATASET.TEST_BLURED_NAME,
+    )
+    assert len(dataset) > 0, "Dataset size is 0!!"
+
+    summary = inference_for_ss(
+        cfg, model, variables, dataset,
+        output_dir=output_dirname,
+        test_aiu=args.test_aiu,
+        test_surface_distance=args.test_surface_distance,
+        save_images=args.sf_save_image,
+    )
+    print(summary)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,134 @@
+"""End-to-end train-step tests on the 8-device CPU mesh.
+
+The TPU-native answer to the reference's untested multi-GPU path
+(SURVEY.md 4): the full sharded train step (degradation + KBPN + PSPNet +
+losses + masked grads) compiles and runs on a virtual data-parallel mesh,
+and loss decreases on a tiny synthetic problem.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from csbsr_tpu.config import get_cfg_defaults
+from csbsr_tpu.models import model_from_cfg
+from csbsr_tpu.engine import (
+    phase_config_from_cfg,
+    compute_phase,
+    build_train_step,
+    build_eval_step,
+    make_degrade_fn,
+)
+from csbsr_tpu.engine.train_state import create_train_state, grad_group_ids
+from csbsr_tpu.parallel import make_mesh, shard_batch
+
+
+def tiny_cfg(**overrides):
+    cfg = get_cfg_defaults()
+    cfg.MODEL.SR = "KBPN"
+    cfg.MODEL.NUM_STAGES = 2
+    cfg.MODEL.DETECTOR_TYPE = "u-net16"
+    cfg.MODEL.UP_SAMPLE_METHOD = "deconv"
+    cfg.SOLVER.SEG_LOSS_FUNC = "BoundaryCombo"
+    cfg.SOLVER.SR_LOSS_FUNC = "KBPN"
+    cfg.SOLVER.BATCH_SIZE = 8
+    cfg.SOLVER.LR = 1e-4
+    cfg.SOLVER.SR_PRETRAIN_ITER = [1, 5]
+    cfg.SOLVER.SR_SR_MODULE_PRETRAIN_ITER = [1, 3]
+    cfg.SOLVER.SR_KERNEL_MODULE_PRETRAIN_ITER = [3, 5]
+    cfg.SOLVER.NORM_SR_OUTPUT = "instance"
+    cfg.SOLVER.TASK_LOSS_WEIGHT = 0.3
+    cfg.BLUR.KERNEL_SIZE = 7
+    cfg.BLUR.KERNEL_SIZE_OUTPUT = 7
+    cfg.INPUT.IMAGE_SIZE = [32, 32]
+    for k, v in overrides.items():
+        node = cfg
+        parts = k.split(".")
+        for p in parts[:-1]:
+            node = node[p]
+        node[parts[-1]] = v
+    return cfg
+
+
+def make_batch(rng, b=8, hw=32):
+    hr = rng.rand(b, hw, hw, 3).astype(np.float32)
+    seg = (rng.rand(b, hw, hw, 1) > 0.8).astype(np.float32)
+    return {"hr": jnp.asarray(hr), "seg": jnp.asarray(seg)}
+
+
+def _setup(cfg, batch):
+    model = model_from_cfg(cfg)
+    pc = phase_config_from_cfg(cfg, 100)
+    rng = jax.random.PRNGKey(0)
+    lr, k = jax.jit(make_degrade_fn(cfg))(batch["hr"], rng)
+    sample = dict(batch, lr=lr, kernel=k)
+    state = create_train_state(cfg, model, rng, sample, pc)
+    gids = grad_group_ids(state.params)
+    step = jax.jit(build_train_step(cfg, model, pc, gids))
+    return model, pc, state, step
+
+
+def test_phase_windows():
+    cfg = tiny_cfg()
+    pc = phase_config_from_cfg(cfg, 100)
+    p1 = compute_phase(1, pc)
+    assert bool(p1["use_gt_kernel"]) and bool(p1["in_sr_pretrain"])
+    p3 = compute_phase(3, pc)
+    assert not bool(p3["use_gt_kernel"]) and bool(p3["in_kernel_window"])
+    p10 = compute_phase(10, pc)
+    assert not bool(p10["in_sr_pretrain"]) and not bool(p10["in_kernel_window"])
+
+
+def test_train_step_runs_and_loss_decreases(rng):
+    # empty pretrain windows: every iteration is the joint phase, so the
+    # total loss is comparable across steps
+    cfg = tiny_cfg(**{
+        "SOLVER.SR_PRETRAIN_ITER": [0, 0],
+        "SOLVER.SR_SR_MODULE_PRETRAIN_ITER": [0, 0],
+        "SOLVER.SR_KERNEL_MODULE_PRETRAIN_ITER": [0, 0],
+        "INPUT.IMAGE_SIZE": [16, 16],
+    })
+    batch = make_batch(rng, hw=16)
+    model, pc, state, step = _setup(cfg, batch)
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    sb = shard_batch(batch, mesh)
+    losses = []
+    key = jax.random.PRNGKey(42)
+    for i in range(8):
+        state, metrics = step(state, sb, jax.random.fold_in(key, 0))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    # overfitting one fixed batch (same rng => same degradation): loss drops
+    assert losses[-1] < losses[0]
+
+
+def test_grad_masks_freeze_sr_during_kernel_window(rng):
+    cfg = tiny_cfg()
+    batch = make_batch(rng)
+    model, pc, state, step = _setup(cfg, batch)
+    # jump into the kernel-pretrain window (iters 3..4)
+    state = state.replace(step=jnp.asarray(2, jnp.int32))
+    before = jax.device_get(state.params["sr_model"]["stage1_up"]["conv"]["conv"]["kernel"])
+    before_k = jax.device_get(
+        state.params["sr_model"]["predictor"]["feat_ext0"]["conv"]["kernel"]
+    )
+    state, _ = step(state, batch, jax.random.PRNGKey(0))
+    after = jax.device_get(state.params["sr_model"]["stage1_up"]["conv"]["conv"]["kernel"])
+    after_k = jax.device_get(
+        state.params["sr_model"]["predictor"]["feat_ext0"]["conv"]["kernel"]
+    )
+    np.testing.assert_array_equal(before, after)  # SR core frozen
+    assert np.abs(after_k - before_k).max() > 0  # kernel predictor training
+
+
+def test_eval_step(rng):
+    cfg = tiny_cfg()
+    batch = make_batch(rng)
+    model, pc, state, step = _setup(cfg, batch)
+    lr, k = jax.jit(make_degrade_fn(cfg))(batch["hr"], jax.random.PRNGKey(1))
+    eval_fn = jax.jit(build_eval_step(cfg, model))
+    m, outputs = eval_fn(state, dict(batch, lr=lr, kernel=k))
+    assert m["psnr"].shape == (8,)
+    assert np.isfinite(np.asarray(m["psnr"])).all()
+    assert outputs["seg"].shape == (8, 32, 32, 1)

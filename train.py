@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Train CLI.
+
+Rebuild of `/root/reference/train.py`: seeds, YAML merge + freeze, dataset
+split, loaders, model/optimizer, dispatch to do_train / SR pretraining.
+Falls back to a synthetic crack dataset when the configured data dirs are
+absent (so the pipeline runs anywhere).
+
+Usage:
+  python train.py --config_file configs/config_csbsr_pspnet.yaml [opts]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import shutil
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="CSBSR-TPU training")
+    p.add_argument("--config_file", type=str, default="", metavar="FILE")
+    p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--log_step", type=int, default=50)
+    p.add_argument("--save_step", type=int, default=2000)
+    p.add_argument("--eval_step", type=int, default=2000)
+    p.add_argument("--resume_iter", type=int, default=0)
+    p.add_argument("--debug", action="store_true")
+    p.add_argument("--synthetic", action="store_true", help="force synthetic data")
+    p.add_argument("opts", default=None, nargs=argparse.REMAINDER)
+    return p.parse_args()
+
+
+def build_datasets(cfg, args):
+    from csbsr_tpu.data import (
+        CrackDataSet,
+        SRPretrainDataSet,
+        SyntheticCrackDataSet,
+        TrainTransforms,
+    )
+
+    transforms = TrainTransforms(cfg)
+    if not args.synthetic and os.path.isdir(cfg.DATASET.TRAIN_IMAGE_DIR):
+        if cfg.DATASET.ONLY_IMAGES:
+            ds = SRPretrainDataSet(cfg, cfg.DATASET.TRAIN_IMAGE_DIR, transforms)
+        else:
+            ds = CrackDataSet(
+                cfg, cfg.DATASET.TRAIN_IMAGE_DIR, cfg.DATASET.TRAIN_MASK_DIR, transforms
+            )
+        if len(ds) > 0:
+            return ds
+        print(f"No images found under {cfg.DATASET.TRAIN_IMAGE_DIR}; using synthetic data")
+    else:
+        print("Train data dir not found; using synthetic data")
+    return SyntheticCrackDataSet(cfg, size=256, image_hw=cfg.INPUT.IMAGE_SIZE)
+
+
+def main():
+    args = parse_args()
+    from csbsr_tpu.config import get_cfg_defaults
+
+    cfg = get_cfg_defaults()
+    if args.config_file:
+        cfg.merge_from_file(args.config_file)
+    if args.opts:
+        cfg.merge_from_list(args.opts)
+    cfg.freeze()
+
+    np.random.seed(cfg.SEED)
+    random.seed(cfg.SEED)
+
+    os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
+    if args.config_file:
+        shutil.copy(args.config_file, os.path.join(cfg.OUTPUT_DIR, "config.yaml"))
+    else:
+        with open(os.path.join(cfg.OUTPUT_DIR, "config.yaml"), "w") as f:
+            f.write(cfg.dump())
+
+    import jax
+    import jax.numpy as jnp
+    from csbsr_tpu.data import IterationBasedLoader
+    from csbsr_tpu.engine import do_train, make_degrade_fn
+    from csbsr_tpu.models import model_from_cfg
+
+    dataset = build_datasets(cfg, args)
+    n_train = int(len(dataset) * cfg.SOLVER.TRAIN_DATASET_RATIO)
+    train_loader = IterationBasedLoader(
+        dataset, cfg.SOLVER.BATCH_SIZE, cfg.SOLVER.MAX_ITER - args.resume_iter,
+        seed=cfg.SEED, start_iter=args.resume_iter, num_workers=args.num_workers,
+    )
+
+    # small deterministic eval split (the reference random_splits 95/5,
+    # train.py:52-57); we take the tail indices with fixed degradation
+    degrade = jax.jit(make_degrade_fn(cfg))
+    eval_batches = []
+    rng = np.random.RandomState(cfg.SEED)
+    eval_idx = list(range(n_train, min(len(dataset), n_train + 2 * cfg.SOLVER.BATCH_SIZE)))
+    for s in range(0, len(eval_idx) - cfg.SOLVER.BATCH_SIZE + 1, cfg.SOLVER.BATCH_SIZE):
+        samples = [dataset.get(i, rng) for i in eval_idx[s : s + cfg.SOLVER.BATCH_SIZE]]
+        hr = jnp.asarray(np.stack([x[0] for x in samples]))
+        seg = jnp.asarray(np.stack([x[1] for x in samples]))
+        lr, k = degrade(hr, jax.random.PRNGKey(cfg.SEED + s))
+        eval_batches.append({"hr": hr, "seg": seg, "lr": lr, "kernel": k})
+
+    model = model_from_cfg(cfg)
+    do_train(
+        cfg, model, train_loader, eval_batches,
+        resume_iter=args.resume_iter, log_step=args.log_step,
+        save_step=args.save_step, eval_step_every=args.eval_step,
+        num_train_ds=n_train, debug=args.debug,
+    )
+
+
+if __name__ == "__main__":
+    main()
