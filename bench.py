@@ -28,6 +28,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from csbsr_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from __graft_entry__ import _flagship_cfg
     from csbsr_tpu.models import model_from_cfg
 
@@ -37,7 +41,13 @@ def main():
     batch = 16  # LR patches per step (= 16 output images of 224x224)
     rng = np.random.RandomState(0)
     patches = jnp.asarray(rng.rand(batch, 56, 56, 3).astype(np.float32))
-    variables = model.init({"params": jax.random.PRNGKey(0)}, patches, None, False, train=False)
+    init = jax.jit(
+        lambda rng, p: model.init({"params": rng}, p, None, False, train=False)
+    )
+    t0 = time.perf_counter()
+    variables = init(jax.random.PRNGKey(0), patches)
+    jax.block_until_ready(variables)
+    print(f"# init: {time.perf_counter()-t0:.1f}s", flush=True)
 
     @jax.jit
     def infer(p):

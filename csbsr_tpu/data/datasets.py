@@ -135,6 +135,73 @@ class CrackDataSetTest:
         )
 
 
+class RetinalDataSet:
+    """Retinal-vessel domain (`retinal_dataset.py:28-60`): png pairs, mask
+    values scaled x255 before the /255 transform (i.e. kept binary)."""
+
+    def __init__(self, cfg, image_dir, seg_dir, transforms: TrainTransforms):
+        self.image_dir = image_dir
+        self.seg_dir = seg_dir
+        self.fnames = sorted(p.name for p in Path(image_dir).glob("*.png"))
+        self.transforms = transforms
+
+    def __len__(self):
+        return len(self.fnames)
+
+    def get(self, i, rng):
+        fname = self.fnames[i]
+        img = _imread(os.path.join(self.image_dir, fname))
+        seg = _imread(os.path.join(self.seg_dir, fname))[:, :, :1] * 255
+        img, seg = self.transforms(img, seg, rng)
+        return img.astype(np.float32), seg.astype(np.float32)
+
+
+class MassRoadDataset:
+    """Massachusetts-roads domain (`ms_road_dataset.py:28-60`): png pairs."""
+
+    def __init__(self, cfg, image_dir, seg_dir, transforms: TrainTransforms):
+        self.image_dir = image_dir
+        self.seg_dir = seg_dir
+        self.fnames = sorted(p.name for p in Path(image_dir).glob("*.png"))
+        self.transforms = transforms
+
+    def __len__(self):
+        return len(self.fnames)
+
+    def get(self, i, rng):
+        fname = self.fnames[i]
+        img = _imread(os.path.join(self.image_dir, fname))
+        seg = _imread(os.path.join(self.seg_dir, fname))[:, :, :1]
+        img, seg = self.transforms(img, seg, rng)
+        return img.astype(np.float32), seg.astype(np.float32)
+
+
+class TTICrackDataSetTest:
+    """Unlabeled real-image test set (`crack_dataset.py:145-172`): png only,
+    patched for inference; no GT."""
+
+    def __init__(self, cfg, image_dir):
+        self.image_dir = image_dir
+        self.fnames = sorted(p.name for p in Path(image_dir).glob("*.png"))
+        self.transforms = TestTransforms(cfg)
+        self.scale_factor = cfg.MODEL.SCALE_FACTOR
+        self.patch_h, self.patch_w = list(cfg.INPUT.IMAGE_SIZE)
+
+    def __len__(self):
+        return len(self.fnames)
+
+    def get(self, i):
+        fname = self.fnames[i]
+        img = _imread(os.path.join(self.image_dir, fname))
+        img, _ = self.transforms(img, None)
+        patches, ushape = split_patch(img, self.patch_h, self.patch_w)
+        ushape = np.asarray(ushape).copy()
+        ushape[[5, 6]] = ushape[[5, 6]] * self.scale_factor
+        seg_ushape = ushape.copy()
+        seg_ushape[4] = 1
+        return np.asarray(patches, np.float32), fname, ushape, seg_ushape
+
+
 class SRPretrainDataSet:
     """Image-only SR pretrain dataset (`crack_dataset.py:176-212`)."""
 

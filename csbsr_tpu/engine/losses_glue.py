@@ -85,12 +85,32 @@ def build_loss_fn(cfg) -> Callable:
     downscale_method = cfg.SOLVER.DOWNSCALE_INTERPOLATION
     detector = cfg.MODEL.DETECTOR_TYPE
     is_dsrl = cfg.MODEL.SR == "DSRL"
+    sr_only_mode = bool(cfg.DATASET.ONLY_IMAGES)
     dsrl_w = (float(cfg.SOLVER.DSRL_SR_WEIGHT), float(cfg.SOLVER.DSRL_FA_WEIGHT),
               float(cfg.SOLVER.DSRL_SEG_WEIGHT))
 
     def loss_fn(outputs, batch, phase) -> Dict[str, jnp.ndarray]:
         it = phase["iteration"]
         alpha = phase["alpha"]
+
+        # SR-only pretraining (do_pretrain_sr, trainer.py:252-289)
+        if sr_only_mode:
+            sr_loss, kernel_2d = kbpn_loss(
+                outputs["sr"].astype(jnp.float32),
+                batch["hr"].astype(jnp.float32),
+                batch["lr"].astype(jnp.float32),
+                outputs["kernel"].astype(jnp.float32),
+                batch["kernel"].astype(jnp.float32),
+                it, ksize=ksize_out, scale_factor=sf, weights=kbpn_w,
+                only_kernel_loss_in_window=(phase["in_kernel_window"] if only_kernel else None),
+                downscale_method=downscale_method,
+            ) if sr_loss_name == "KBPN" else (
+                l1_per_sample(outputs["sr"].astype(jnp.float32), batch["hr"].astype(jnp.float32)),
+                None,
+            )
+            sr_mean = jnp.mean(sr_loss)
+            return {"total": sr_mean, "seg_loss": jnp.zeros(()), "sr_loss": sr_mean}
+
         seg_preds = outputs["seg"].astype(jnp.float32)
         seg_targets = batch["seg"].astype(jnp.float32)
 

@@ -107,11 +107,17 @@ def make_optimizer(cfg, pc: PhaseConfig) -> optax.GradientTransformation:
 def create_train_state(cfg, model, rng, sample_batch, pc: PhaseConfig) -> TrainState:
     k2 = cfg.BLUR.KERNEL_SIZE_OUTPUT**2
     kernel_vec = sample_batch["kernel"].reshape(sample_batch["kernel"].shape[0], -1)
-    variables = model.init(
-        {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
-        sample_batch["lr"], kernel_vec, False,
-        sr_targets=sample_batch.get("hr"), train=False,
-    )
+
+    # jit the init: eagerly it dispatches each op separately, which is very
+    # slow over a remote-device transport.
+    @jax.jit
+    def _init(rng, lr, kvec, hr):
+        return model.init(
+            {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
+            lr, kvec, False, sr_targets=hr, train=False,
+        )
+
+    variables = _init(rng, sample_batch["lr"], kernel_vec, sample_batch.get("hr"))
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx = make_optimizer(cfg, pc)

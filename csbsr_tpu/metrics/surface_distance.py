@@ -134,13 +134,23 @@ def compute_average_surface_distance(sd: Dict[str, np.ndarray]) -> Tuple[float, 
     return g2p, p2g
 
 
-def calc_distance_metrics(preds: np.ndarray, gts: np.ndarray, percentile: float = 50):
+def calc_distance_metrics(preds: np.ndarray, gts: np.ndarray, percentile: float = 50,
+                          use_native: bool = True):
     """Batch HD/MSD over a threshold bank (`inference.py:293-336` semantics).
 
     preds: (B, T, H, W) bool; gts: (B, 1, H, W) bool.
     Empty-vs-empty -> 0; one-empty -> outlier = max image side.
     Returns (hd (B,T), msd (B,T)).
+
+    Uses the multithreaded C++ kernel (csbsr_tpu/native) when built; numpy
+    otherwise.
     """
+    if use_native:
+        from ..native import surface_metrics_native
+
+        result = surface_metrics_native(preds, gts, percentile)
+        if result is not None:
+            return result
     b, t = preds.shape[:2]
     max_len = max(preds.shape[2], preds.shape[3])
     hd = np.zeros((b, t))

@@ -66,6 +66,7 @@ class CSBSRModel(nn.Module):
     input_std: tuple = (0.1621, 0.1532, 0.1523)
     sr_seg_inv: bool = False
     dsrl_upsample: str = "bilinear"  # 'deconv' => DeepLabx4 native chain
+    sr_only: bool = False  # SR pretraining (SRModelWithLoss, build_model.py:535-562)
     dtype: Any = jnp.float32
 
     def _build_sr(self):
@@ -201,6 +202,8 @@ class CSBSRModel(nn.Module):
         )
         if clip_sr:
             sr_preds = jnp.clip(sr_preds, 0.0, 1.0)
+        if self.sr_only:
+            return {"sr": sr_preds, "kernel": kernel_vec, "seg": None, "aux": None}
         sr_norm = _norm_sr(sr_preds, self.norm_sr_output, self.input_mean, self.input_std)
         seg_preds, aux_preds = self._forward_ss(sr_norm, kernel_vec, train)
         return {"sr": sr_preds, "kernel": kernel_vec, "seg": seg_preds, "aux": aux_preds}
@@ -226,5 +229,6 @@ def model_from_cfg(cfg, dtype=jnp.float32) -> CSBSRModel:
         input_std=tuple(cfg.INPUT.STD),
         sr_seg_inv=cfg.MODEL.SR_SEG_INV,
         dsrl_upsample=cfg.MODEL.DSRL_UPSAMPLE,
+        sr_only=bool(cfg.DATASET.ONLY_IMAGES),
         dtype=dtype,
     )
