@@ -38,34 +38,42 @@ def main():
     cfg = _flagship_cfg()
     model = model_from_cfg(cfg, dtype=jnp.bfloat16)
 
-    batch = 16  # LR patches per step (= 16 output images of 224x224)
     rng = np.random.RandomState(0)
-    patches = jnp.asarray(rng.rand(batch, 56, 56, 3).astype(np.float32))
-    init = jax.jit(
-        lambda rng, p: model.init({"params": rng}, p, None, False, train=False)
-    )
-    t0 = time.perf_counter()
-    variables = init(jax.random.PRNGKey(0), patches)
-    jax.block_until_ready(variables)
-    print(f"# init: {time.perf_counter()-t0:.1f}s", flush=True)
 
-    @jax.jit
-    def infer(p):
-        out = model.apply(variables, p, None, False, train=False, clip_sr=True)
-        return out["sr"], out["seg"]
+    def measure(batch: int) -> float:
+        patches = jnp.asarray(rng.rand(batch, 56, 56, 3).astype(np.float32))
+        init = jax.jit(
+            lambda rng, p: model.init({"params": rng}, p, None, False, train=False)
+        )
+        variables = init(jax.random.PRNGKey(0), patches)
+        jax.block_until_ready(variables)
 
-    # warmup / compile
-    sr, seg = infer(patches)
-    jax.block_until_ready(sr)
+        @jax.jit
+        def infer(variables, p, carry):
+            # weights as a jit ARGUMENT (closure capture would bake them into
+            # the HLO as constants); `carry` chains iterations with a real
+            # data dependency so remote/async layers cannot elide or reorder
+            # the executions. The perturbation cost (2 elementwise adds) is
+            # noise next to the model.
+            out = model.apply(
+                variables, p + carry * jnp.float32(1e-12), None, False,
+                train=False, clip_sr=True,
+            )
+            return out["sr"], out["seg"], carry + jnp.sum(out["sr"].astype(jnp.float32))
 
-    n_iters = 30
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        sr, seg = infer(patches)
-    jax.block_until_ready(sr)
-    dt = time.perf_counter() - t0
+        carry = jnp.float32(0.0)
+        sr, seg, carry = infer(variables, patches, carry)  # compile + warm
+        float(carry)
 
-    imgs_per_sec = batch * n_iters / dt
+        n_iters = 30
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            sr, seg, carry = infer(variables, patches, carry)
+        float(carry)  # host sync on the chained dependency
+        dt = time.perf_counter() - t0
+        return batch * n_iters / dt
+
+    imgs_per_sec = max(measure(b) for b in (16, 32, 64))
     print(
         json.dumps(
             {

@@ -26,11 +26,15 @@ from ..utils.save_output import save_img, save_mask, save_kernel
 
 
 def build_infer_fn(cfg, model, variables):
-    """Jitted patched forward: (patches, kernel_gt) -> sr, seg, kernel_2d."""
+    """Jitted patched forward: (patches) -> sr, seg, kernel_2d.
+
+    Weights are a jit argument (closure capture would bake them into the HLO
+    as constants - oversized compile payloads on remote backends).
+    """
     ksize_out = int(cfg.BLUR.KERNEL_SIZE_OUTPUT)
 
     @jax.jit
-    def infer(patches):
+    def _infer(variables, patches):
         outputs = model.apply(
             variables, patches, None, False, train=False, clip_sr=True
         )
@@ -39,7 +43,7 @@ def build_infer_fn(cfg, model, variables):
         k2d = kvec.reshape(-1, ksize_out, ksize_out)
         return outputs["sr"], outputs["seg"], k2d
 
-    return infer
+    return lambda patches: _infer(variables, patches)
 
 
 def inference_for_ss(

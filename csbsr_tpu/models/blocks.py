@@ -21,8 +21,54 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..ops.resize import pixel_shuffle
+from ..ops.s2d import s2d_conv, s2d_deconv, can_s2d_conv, can_s2d_deconv
 
 Dtype = Any
+
+
+class _S2DConv(nn.Module):
+    """nn.Conv-compatible params; computes via the space-to-depth lowering."""
+
+    features: int
+    kernel_size: int
+    stride: int
+    padding: int
+    use_bias: bool
+    kernel_init: Any
+    dtype: Dtype
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        kernel = self.param("kernel", self.kernel_init, (k, k, x.shape[-1], self.features))
+        y = s2d_conv(x.astype(self.dtype), kernel.astype(self.dtype), self.stride, self.padding)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+class _S2DDeconv(nn.Module):
+    """nn.ConvTranspose(transpose_kernel=True)-compatible params; s2d compute."""
+
+    features: int
+    kernel_size: int
+    stride: int
+    padding: int
+    use_bias: bool
+    kernel_init: Any
+    dtype: Dtype
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        # transpose_kernel layout: (k, k, O, I)
+        kernel = self.param("kernel", self.kernel_init, (k, k, self.features, x.shape[-1]))
+        y = s2d_deconv(x.astype(self.dtype), kernel.astype(self.dtype), self.stride, self.padding)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y
 
 
 def kaiming_normal_leaky(a: float = 0.0):
@@ -124,18 +170,31 @@ class ConvBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         init = _init_for_activation(self.activation)
-        x = nn.Conv(
-            self.features,
-            (self.kernel_size, self.kernel_size),
-            strides=(self.stride, self.stride),
-            padding=[(self.padding, self.padding)] * 2,
-            kernel_dilation=(self.dilation, self.dilation),
-            feature_group_count=self.groups,
-            use_bias=self.use_bias,
-            kernel_init=init,
-            dtype=self.dtype,
-            name="conv",
-        )(x)
+        use_s2d = (
+            self.groups == 1
+            and self.dilation == 1
+            and can_s2d_conv(self.kernel_size, self.stride, self.padding)
+            and (x.shape[1] + 2 * self.padding) % self.stride == 0
+            and (x.shape[2] + 2 * self.padding) % self.stride == 0
+        )
+        if use_s2d:
+            x = _S2DConv(
+                self.features, self.kernel_size, self.stride, self.padding,
+                self.use_bias, init, self.dtype, name="conv",
+            )(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                (self.kernel_size, self.kernel_size),
+                strides=(self.stride, self.stride),
+                padding=[(self.padding, self.padding)] * 2,
+                kernel_dilation=(self.dilation, self.dilation),
+                feature_group_count=self.groups,
+                use_bias=self.use_bias,
+                kernel_init=init,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
         x = _apply_norm(self, x, self.norm, train, self.dtype)
         act = make_activation(self.activation, self.prelu_init, self.lrelu_slope)
         if act is not None:
@@ -161,17 +220,23 @@ class DeconvBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         k, p = self.kernel_size, self.padding
         init = _init_for_activation(self.activation)
-        x = nn.ConvTranspose(
-            self.features,
-            (k, k),
-            strides=(self.stride, self.stride),
-            padding=[(k - 1 - p, k - 1 - p)] * 2,
-            use_bias=self.use_bias,
-            kernel_init=init,
-            transpose_kernel=True,
-            dtype=self.dtype,
-            name="deconv",
-        )(x)
+        if can_s2d_deconv(k, self.stride, p):
+            x = _S2DDeconv(
+                self.features, k, self.stride, p, self.use_bias, init,
+                self.dtype, name="deconv",
+            )(x)
+        else:
+            x = nn.ConvTranspose(
+                self.features,
+                (k, k),
+                strides=(self.stride, self.stride),
+                padding=[(k - 1 - p, k - 1 - p)] * 2,
+                use_bias=self.use_bias,
+                kernel_init=init,
+                transpose_kernel=True,
+                dtype=self.dtype,
+                name="deconv",
+            )(x)
         x = _apply_norm(self, x, self.norm, train, self.dtype)
         act = make_activation(self.activation, self.prelu_init, self.lrelu_slope)
         if act is not None:
