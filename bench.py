@@ -73,7 +73,7 @@ def main():
         dt = time.perf_counter() - t0
         return batch * n_iters / dt
 
-    imgs_per_sec = max(measure(b) for b in (16, 32, 64))
+    imgs_per_sec = max(measure(b) for b in (32, 64, 128))
     print(
         json.dumps(
             {

@@ -20,12 +20,84 @@ from __future__ import annotations
 
 from typing import Any, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .blocks import ConvBlock, DeconvBlock, ConvAndPixelShuffleBlock
+from .blocks import ConvBlock, DeconvBlock, ConvAndPixelShuffleBlock, kaiming_normal_leaky
 from ..ops.resize import resize
 from ..ops.blur import batch_blur
+from ..ops.banded import (
+    banded_from_vector,
+    banded_conv3x3,
+    banded_conv1x1,
+    materialize,
+)
+
+
+class _ConvParams(nn.Module):
+    """Bare conv kernel/bias holder, param-path compatible with ConvBlock's
+    inner nn.Conv (path <parent>/conv/kernel)."""
+
+    shape: tuple
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", kaiming_normal_leaky(0.01), self.shape)
+        b = self.param("bias", nn.initializers.zeros, (self.shape[-1],)) if self.use_bias else None
+        return k, b
+
+
+class _BandedConvBlock(nn.Module):
+    """ConvBlock-equivalent (bias=False, norm=None) on a banded map.
+
+    Param-path compatible with ConvBlock (<name>/conv/kernel) so checkpoints
+    are interchangeable with the dense implementation.
+    """
+
+    features: int
+    kernel_size: int = 3
+    activation: Optional[str] = "lrelu"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, vals):
+        k, _ = _ConvParams(
+            (self.kernel_size, self.kernel_size, vals.shape[-1], self.features),
+            name="conv",
+        )()
+        k = k.astype(self.dtype)
+        if self.kernel_size == 3:
+            out = banded_conv3x3(vals.astype(self.dtype), k)
+        else:
+            out = banded_conv1x1(vals.astype(self.dtype), k)
+        if self.activation == "lrelu":
+            out = nn.leaky_relu(out, 0.01)
+        elif self.activation == "relu":
+            out = nn.relu(out)
+        return out
+
+
+class _SplitCat1x1(nn.Module):
+    """fe_cat0: 1x1 conv over concat(full_map, banded_map) without
+    materialising the banded channels. Param path = <name>/conv/kernel with
+    the full concatenated input-channel count."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, full_map, banded_vals):
+        cf = full_map.shape[-1]
+        cb = banded_vals.shape[-1]
+        k, _ = _ConvParams((1, 1, cf + cb, self.features), name="conv")()
+        k = k.astype(self.dtype)
+        out_full = jnp.einsum("bhwc,co->bhwo", full_map.astype(self.dtype), k[0, 0, :cf])
+        out_band = banded_conv1x1(banded_vals.astype(self.dtype), k[:, :, cf:])
+        h, w = full_map.shape[1:3]
+        out = out_full + materialize(out_band, h, w)
+        return nn.leaky_relu(out, 0.01)
 
 _CONV_SETTING = {2: (6, 2, 2), 4: (8, 4, 2), 8: (12, 8, 2)}
 
@@ -112,18 +184,18 @@ class KernelPredictorLikeIKC(nn.Module):
         f = cb(red, 3, 1, "lrelu", "fe_SR3")(f, train)
         fsr = cb(kernel_ch, 3, 1, "lrelu", "fe_SR4")(f, train)
 
-        # fe_kernel on the spatially broadcast previous kernel (border
-        # effects of the 3x3 convs are part of the reference semantics).
-        h, w = fsr.shape[1:3]
-        fh = jnp.broadcast_to(
-            pre_kernel_vec[:, None, None, :],
-            (pre_kernel_vec.shape[0], h, w, pre_kernel_vec.shape[-1]),
-        ).astype(fsr.dtype)
-        fh = cb(kernel_ch, 3, 1, "lrelu", "fe_kernel0")(fh, train)
-        fh = cb(kernel_ch, 3, 1, "lrelu", "fe_kernel1")(fh, train)
+        # fe_kernel convs over the spatially *constant* broadcast of the
+        # previous kernel (kbpn.py:565-567). The reference materialises a
+        # 441-channel HR map and convolves it (~350 GFLOP/image/stage of
+        # redundant work); a zero-padded conv of a constant map is banded
+        # (piecewise constant), so the whole chain runs exactly on a tiny
+        # representative tile (ops/banded.py).  fe_cat0 (1x1) is split so the
+        # banded half is never materialised at 441 channels.
+        fh_b = banded_from_vector(pre_kernel_vec.astype(fsr.dtype))
+        fh_b = _BandedConvBlock(kernel_ch, 3, "lrelu", dtype=self.dtype, name="fe_kernel0")(fh_b)
+        fh_b = _BandedConvBlock(kernel_ch, 3, "lrelu", dtype=self.dtype, name="fe_kernel1")(fh_b)
 
-        fcat = jnp.concatenate([fsr, fh], axis=-1)
-        d = cb(red, 1, 0, "lrelu", "fe_cat0")(fcat, train)
+        d = _SplitCat1x1(red, dtype=self.dtype, name="fe_cat0")(fsr, fh_b)
         d = cb(red, 3, 1, "lrelu", "fe_cat1")(d, train)
         d = cb(kernel_ch, 3, 1, None, "fe_cat2")(d, train)
         delta = jnp.mean(d, axis=(1, 2))  # (B, est^2)
@@ -216,25 +288,54 @@ class KBPNDownBlock(nn.Module):
         return l1 + l0
 
 
+class _SplitCondConv3x3(nn.Module):
+    """3x3 conv over concat(features, constant cond map), with the cond part
+    evaluated on the banded representation. Param paths match nn.Conv
+    (<name>/kernel, <name>/bias) over the concatenated input channels."""
+
+    features: int
+    cond_channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat_map, cond_banded):
+        cf = feat_map.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, cf + self.cond_channels, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        k = kernel.astype(self.dtype)
+        out = jax.lax.conv_general_dilated(
+            feat_map.astype(self.dtype), k[:, :, :cf], (1, 1), [(1, 1)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        cond_out = banded_conv3x3(cond_banded.astype(self.dtype), k[:, :, cf:])
+        h, w = feat_map.shape[1:3]
+        return out + materialize(cond_out, h, w) + bias.astype(out.dtype)
+
+
 class SFTLayerKBPN(nn.Module):
-    """kbpn.py:493-518: SFT over concat(features, kernel-condition map)."""
+    """kbpn.py:493-518: SFT over concat(features, kernel-condition map).
+
+    The condition map is spatially constant, so the first conv's condition
+    half runs on the banded representation (exact; see ops/banded.py).
+    """
 
     out_features: int
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, features, kernel_vec):
-        b, h, w, _ = features.shape
-        cond = jnp.broadcast_to(
-            kernel_vec[:, None, None, :], (b, h, w, kernel_vec.shape[-1])
-        ).astype(features.dtype)
-        cat = jnp.concatenate([features, cond], axis=-1)
-        c = cat.shape[-1]
+        cond_b = banded_from_vector(kernel_vec.astype(features.dtype))
+        cc = kernel_vec.shape[-1]
+        c = features.shape[-1] + cc
         conv = lambda f, name: nn.Conv(f, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype, name=name)
-        scale = conv(c, "SFT_scale_conv0")(cat)
-        scale = nn.sigmoid(conv(self.out_features, "SFT_scale_conv1")(nn.leaky_relu(scale, 0.1)))
-        shift = conv(c, "SFT_shift_conv0")(cat)
-        shift = conv(self.out_features, "SFT_shift_conv1")(nn.leaky_relu(shift, 0.1))
+        s0 = _SplitCondConv3x3(c, cc, dtype=self.dtype, name="SFT_scale_conv0")(features, cond_b)
+        scale = nn.sigmoid(conv(self.out_features, "SFT_scale_conv1")(nn.leaky_relu(s0, 0.1)))
+        h0 = _SplitCondConv3x3(c, cc, dtype=self.dtype, name="SFT_shift_conv0")(features, cond_b)
+        shift = conv(self.out_features, "SFT_shift_conv1")(nn.leaky_relu(h0, 0.1))
         return features * scale + shift
 
 

@@ -168,16 +168,19 @@ def identity_kernels(batch: int, size: int) -> jnp.ndarray:
 
 
 def batch_blur(images: jnp.ndarray, kernels: jnp.ndarray, stride: int = 1) -> jnp.ndarray:
-    """Per-sample depthwise blur: one conv for the whole batch.
+    """Per-sample depthwise blur: one fused op for the whole batch.
 
     Replaces the reference's per-sample Python loop
-    (`kbpn.py:395-402`, `sr_loss_functions.py:90-100`, `blur.py:182-200`)
-    with a single grouped convolution: reshape (B,H,W,C) -> (1,H,W,B*C) and
-    use feature_group_count=B*C so each sample convolves with its own kernel.
+    (`kbpn.py:395-402`, `sr_loss_functions.py:90-100`, `blur.py:182-200`).
+    stride > 1 (the KBlock pseudo-LR path) uses a space-to-depth shift-einsum
+    (no grouped conv: TPU handles B*C-group convolutions poorly); stride == 1
+    uses one grouped convolution.
 
     images: (B, H, W, C); kernels: (B, k, k). Returns (B, H', W', C) with
     H' = floor((H + 2p - k)/stride) + 1, p = (k-1)//2 (torch F.conv2d parity).
     """
+    if stride > 1:
+        return _batch_blur_s2d(images, kernels, stride)
     b, h, w, c = images.shape
     k = kernels.shape[-1]
     pad = (k - 1) // 2
@@ -196,6 +199,42 @@ def batch_blur(images: jnp.ndarray, kernels: jnp.ndarray, stride: int = 1) -> jn
     )
     ho, wo = out.shape[1], out.shape[2]
     out = out.reshape(ho, wo, b, c).transpose(2, 0, 1, 3)
+    return out.astype(images.dtype)
+
+
+def _batch_blur_s2d(images: jnp.ndarray, kernels: jnp.ndarray, stride: int) -> jnp.ndarray:
+    """Strided per-sample depthwise conv via space-to-depth + shift einsums.
+
+    out[b,Y,X,c] = sum_{i,j} xpad[b, s*Y+i, s*X+j, c] * K[b,i,j], evaluated
+    as ceil(k/s)^2 shifted einsums over the s2d layout - pure VPU work, no
+    feature groups.
+    """
+    b, h, w, c = images.shape
+    k = kernels.shape[-1]
+    s = stride
+    pad = (k - 1) // 2
+    h_out = (h + 2 * pad - k) // s + 1
+    w_out = (w + 2 * pad - k) // s + 1
+    t = -(-k // s)  # taps per phase
+    kp = t * s
+    # pad input so every needed index exists and dims are s-divisible
+    hi_h = (s * (h_out - 1 + t) ) - h - pad + s  # generous upper padding
+    hi_w = (s * (w_out - 1 + t) ) - w - pad + s
+    xpad = jnp.pad(images, ((0, 0), (pad, max(hi_h, 0)), (pad, max(hi_w, 0)), (0, 0)))
+    hp = xpad.shape[1] - xpad.shape[1] % s
+    wp = xpad.shape[2] - xpad.shape[2] % s
+    xpad = xpad[:, :hp, :wp]
+    xs = xpad.reshape(b, hp // s, s, wp // s, s, c)
+    xs = xs.transpose(0, 1, 3, 2, 4, 5)  # (B, Hp/s, Wp/s, s, s, C)
+    kpad = jnp.pad(kernels, ((0, 0), (0, kp - k), (0, kp - k)))
+    kk = kpad.reshape(b, t, s, t, s)  # (B, a, dy, b', dx)
+    out = jnp.zeros((b, h_out, w_out, c), jnp.float32)
+    for a in range(t):
+        for bb in range(t):
+            block = jax.lax.dynamic_slice(
+                xs, (0, a, bb, 0, 0, 0), (b, h_out, w_out, s, s, c)
+            ).astype(jnp.float32)
+            out = out + jnp.einsum("bhwijc,bij->bhwc", block, kk[:, a, :, bb, :].astype(jnp.float32))
     return out.astype(images.dtype)
 
 
