@@ -112,6 +112,12 @@ def _coerce(value: Any, old: Any, key: str) -> Any:
     """yacs-style type coercion: allow compatible replacement values."""
     if isinstance(value, str) and not isinstance(old, str):
         value = yaml.safe_load(value)
+        if isinstance(value, str) and isinstance(old, (int, float)):
+            # YAML 1.1 reads '2e-5' (no dot) as a string; yacs coerces it
+            try:
+                value = float(value)
+            except ValueError:
+                pass
     if old is None or value is None:
         return value
     if isinstance(old, bool) is not isinstance(value, bool) and (

@@ -146,6 +146,41 @@ def inference_for_ss(
     return summary
 
 
+def inference_tti(
+    cfg,
+    model,
+    variables,
+    dataset,
+    *,
+    output_dir: str,
+    max_patches_per_call: int = 6,
+    log_fn=print,
+):
+    """Unlabeled real-image inference (`inference.py:210-251`,
+    inference_tti_building): patched forward in chunks, dump SR images and
+    raw + thresholded masks; no GT metrics."""
+    infer = build_infer_fn(cfg, model, variables)
+    thresholds = np.array([i * 0.01 for i in range(1, 100)], np.float32)
+    save_idx = [0] + [9 + i * 10 for i in range(9)] + [98]
+
+    for i in range(len(dataset)):
+        patches, fname, img_ushape, seg_ushape = dataset.get(i)
+        srs, segs = [], []
+        for s in range(0, patches.shape[0], max_patches_per_call):
+            sr_p, seg_p, _ = infer(jnp.asarray(patches[s : s + max_patches_per_call]))
+            srs.append(np.asarray(sr_p))
+            segs.append(np.asarray(seg_p))
+        sr_pred = joint_patch(jnp.asarray(np.concatenate(srs)), img_ushape)
+        seg_pred = joint_patch(jnp.asarray(np.concatenate(segs)), seg_ushape)
+        save_img(output_dir, np.clip(np.asarray(sr_pred), 0, 1), [fname])
+        seg_np = np.asarray(seg_pred)
+        for idx in save_idx:
+            save_mask(output_dir, (seg_np > thresholds[idx]).astype(np.float32), [fname], thresholds[idx])
+        save_mask(output_dir, seg_np, [fname], -1)
+        if (i + 1) % 10 == 0:
+            log_fn(f"tti inference {(i+1)}/{len(dataset)}")
+
+
 def save_iou_log(aiu_scores, thresholds, fnames, output_dir):
     """iou_log.csv (`inference.py:287-291`)."""
     import pandas as pd

@@ -62,6 +62,18 @@ def _min_plus_rows(g: jnp.ndarray) -> jnp.ndarray:
     return out[..., :w]
 
 
+_USE_PALLAS = None
+
+
+def _pallas_available() -> bool:
+    global _USE_PALLAS
+    if _USE_PALLAS is None:
+        import jax as _jax
+
+        _USE_PALLAS = _jax.default_backend() not in ("cpu",)
+    return _USE_PALLAS
+
+
 def edt(mask: jnp.ndarray) -> jnp.ndarray:
     """Exact Euclidean distance to the nearest True pixel, per 2-D slice.
 
@@ -72,8 +84,15 @@ def edt(mask: jnp.ndarray) -> jnp.ndarray:
     Equivalent to `scipy.ndimage.distance_transform_edt(~mask)` - scipy's
     `distance_transform_edt(x)` is the distance to the nearest zero of x,
     i.e. `edt(x == 0)`.
+
+    The row pass uses the Pallas kernel on accelerators
+    (ops/pallas/minplus.py) and the blocked XLA form on CPU.
     """
     g = _scan_1d_distance(mask.astype(jnp.bool_))
+    if _pallas_available():
+        from .pallas.minplus import minplus_rows_pallas
+
+        return jnp.sqrt(minplus_rows_pallas(g))
     return jnp.sqrt(_min_plus_rows(g))
 
 
