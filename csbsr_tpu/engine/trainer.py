@@ -167,6 +167,10 @@ def do_train(
     mesh = mesh or make_mesh(cfg.TPU.MESH_SHAPE, cfg.TPU.MESH_AXES)
     pc = phase_config_from_cfg(cfg, num_train_ds or len(train_loader))
 
+    from ..utils.logging import MetricsLogger
+
+    mlog = MetricsLogger(cfg.OUTPUT_DIR, wandb_flag=False, config=dict(cfg))
+
     # init from the first batch
     it_loader = iter(train_loader)
     first = next(it_loader)
@@ -202,6 +206,10 @@ def do_train(
                 f"{logging['seg_loss']/n:.6f}, SR_Loss({cfg.SOLVER.SR_LOSS_FUNC}): "
                 f"{logging['sr_loss']/n:.6f}, alpha: {float(metrics['alpha']):.3f}"
             )
+            mlog.log(
+                {k: v / n for k, v in logging.items()} | {"alpha": float(metrics["alpha"])},
+                step=iteration,
+            )
             logging = {k: 0.0 for k in logging}
             tic = time.time()
 
@@ -217,7 +225,9 @@ def do_train(
                     scores.setdefault(k, []).append(np.asarray(v))
             means = {k: float(np.concatenate(v).mean()) for k, v in scores.items()}
             log_fn(f"=====> Eval @ {iteration}: " + ", ".join(f"{k}={v:.4f}" for k, v in means.items()))
+            mlog.log({f"eval/{k}": v for k, v in means.items()}, step=iteration)
 
+    mlog.close()
     return state
 
 

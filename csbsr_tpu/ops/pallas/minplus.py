@@ -27,12 +27,13 @@ def _minplus_kernel(g2_ref, out_ref):
     """g2_ref: (ROWS, W); out_ref: (ROWS, JBLK) for grid position (r, jb)."""
     jb = pl.program_id(1)
     w = g2_ref.shape[1]
-    j = jb * _JBLK + jax.lax.broadcasted_iota(jnp.float32, (1, _JBLK), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _JBLK), 1).astype(jnp.float32)
+    j = jb.astype(jnp.float32) * _JBLK + lane
 
     def body(kc, acc):
         k0 = kc * _JBLK
         g2 = g2_ref[:, pl.ds(k0, _JBLK)]  # (ROWS, JBLK_k)
-        k = k0 + jax.lax.broadcasted_iota(jnp.float32, (1, _JBLK), 1)
+        k = kc.astype(jnp.float32) * _JBLK + lane
         # cand[r, j] = min over this k-chunk of g2[r, k] + (j - k)^2
         # expand: (ROWS, K, 1) + (1, K, JBLK)
         sq = (j[:, None, :] - k[:, :, None]) ** 2  # (1, K, JBLK)
