@@ -67,6 +67,7 @@ class CSBSRModel(nn.Module):
     sr_seg_inv: bool = False
     dsrl_upsample: str = "bilinear"  # 'deconv' => DeepLabx4 native chain
     sr_only: bool = False  # SR pretraining (SRModelWithLoss, build_model.py:535-562)
+    remat: bool = False
     dtype: Any = jnp.float32
 
     def _build_sr(self):
@@ -82,6 +83,7 @@ class CSBSRModel(nn.Module):
                 pixel_shuffle=self.pixel_shuffle,
                 sum_lr_error_pos=self.sum_lr_error_pos,
                 zero_pad_kernel=self.zero_pad_kernel,
+                remat=self.remat,
                 dtype=self.dtype, name="sr_model",
             )
         if self.sr == "DBPN":
@@ -209,7 +211,9 @@ class CSBSRModel(nn.Module):
         return {"sr": sr_preds, "kernel": kernel_vec, "seg": seg_preds, "aux": aux_preds}
 
 
-def model_from_cfg(cfg, dtype=jnp.float32) -> CSBSRModel:
+def model_from_cfg(cfg, dtype=None) -> CSBSRModel:
+    if dtype is None:
+        dtype = jnp.dtype(cfg.TPU.COMPUTE_DTYPE)  # bf16 compute, f32 params
     return CSBSRModel(
         sr=cfg.MODEL.SR,
         detector=cfg.MODEL.DETECTOR_TYPE,
@@ -230,5 +234,6 @@ def model_from_cfg(cfg, dtype=jnp.float32) -> CSBSRModel:
         sr_seg_inv=cfg.MODEL.SR_SEG_INV,
         dsrl_upsample=cfg.MODEL.DSRL_UPSAMPLE,
         sr_only=bool(cfg.DATASET.ONLY_IMAGES),
+        remat=bool(cfg.TPU.REMAT),
         dtype=dtype,
     )

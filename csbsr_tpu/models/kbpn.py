@@ -420,6 +420,7 @@ class KBPN(nn.Module):
     pixel_shuffle: bool = False
     sum_lr_error_pos: str = "HR"
     zero_pad_kernel: bool = False
+    remat: bool = False  # jax.checkpoint each back-projection block
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -432,6 +433,9 @@ class KBPN(nn.Module):
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         k, s, p = _CONV_SETTING[self.scale_factor]
         use_gt_kernel = jnp.asarray(use_gt_kernel)
+        UpCls = nn.remat(KBPNUpBlock, static_argnums=(2,)) if self.remat else KBPNUpBlock
+        DownCls = nn.remat(KBPNDownBlock, static_argnums=(2,)) if self.remat else KBPNDownBlock
+        KBCls = nn.remat(KBlock, static_argnums=(6,)) if self.remat else KBlock
 
         init_f = VGGFeat(dtype=self.dtype, name="feat")(x)
 
@@ -444,15 +448,15 @@ class KBPN(nn.Module):
         else:
             kernel_vec = jnp.where(use_gt_kernel, kernel_gt_vec.astype(pred_vec.dtype), pred_vec)
 
-        mk_up = lambda st, name: KBPNUpBlock(
+        mk_up = lambda st, name: UpCls(
             self.md_ch, k, s, p, self.pixel_shuffle, self.scale_factor,
             dtype=self.dtype, name=name,
         )
-        mk_down = lambda name: KBPNDownBlock(
+        mk_down = lambda name: DownCls(
             self.md_ch, k, s, p, self.pixel_shuffle, self.scale_factor,
             dtype=self.dtype, name=name,
         )
-        mk_kb = lambda st, name: KBlock(
+        mk_kb = lambda st, name: KBCls(
             self.md_ch, k, s, p, st, self.estimate_ksize, self.ksize_output,
             self.scale_factor, self.sum_lr_error_pos, self.pixel_shuffle,
             self.zero_pad_kernel, dtype=self.dtype, name=name,
