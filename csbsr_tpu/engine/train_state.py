@@ -92,10 +92,23 @@ def group_multipliers(phase: Dict, pc: PhaseConfig, *, blurskip_only: bool,
 
 def make_optimizer(cfg, pc: PhaseConfig) -> optax.GradientTransformation:
     base_lr = float(cfg.SOLVER.LR)
+    lr_steps = tuple(cfg.SOLVER.LR_STEPS)
+    gamma = float(cfg.SOLVER.GAMMA)
+    warmup_factor = float(cfg.SOLVER.WARMUP_FACTOR)
+    warmup_iters = int(cfg.SOLVER.WARMUP_ITERS)
 
     def schedule(step):
         phase = compute_phase(step + 1, pc)
-        return base_lr * phase["lr_mult"]
+        lr = base_lr * phase["lr_mult"]
+        if lr_steps:
+            # WarmupMultiStepLR (lr_scheduler.py:14-29): linear warmup of
+            # warmup_factor -> 1 over warmup_iters, then gamma decay at steps
+            it = (step + 1).astype(jnp.float32) if hasattr(step, "astype") else jnp.float32(step + 1)
+            alpha = jnp.clip(it / max(warmup_iters, 1), 0.0, 1.0)
+            wf = warmup_factor * (1.0 - alpha) + alpha
+            decays = sum(jnp.where(it >= m, 1, 0) for m in lr_steps)
+            lr = lr * wf * gamma**decays
+        return lr
 
     if cfg.MODEL.OPTIMIZER == "Adam":
         return optax.adam(schedule)

@@ -72,7 +72,9 @@ def convert_tree(params, batch_stats, torch_sd: Dict[str, np.ndarray], translate
                 continue
             w = np.asarray(torch_sd[tkey])
             if kind == "kernel" and w.ndim == 4:
-                w = _deconv_w(w) if _looks_deconv(path) else _conv_w(w)
+                # conv (O,I,kh,kw)->(kh,kw,I,O) and deconv (I,O,kh,kw)->
+                # (kh,kw,O,I) are the same permutation
+                w = _conv_w(w)
             elif kind == "kernel" and w.ndim == 2:
                 w = np.transpose(w, (1, 0))
             elif kind == "alpha":
@@ -126,9 +128,9 @@ def export_params_to_torch_names(params, translate) -> Dict[str, np.ndarray]:
             continue
         w = np.asarray(leaf)
         if kind == "kernel" and w.ndim == 4:
+            # (kh,kw,I,O)->(O,I,kh,kw) and (kh,kw,O,I)->(I,O,kh,kw) are the
+            # same permutation - no deconv special case
             w = np.transpose(w, (3, 2, 0, 1))
-            if _looks_deconv(path):
-                w = np.transpose(w, (1, 0, 2, 3))
         elif kind == "kernel" and w.ndim == 2:
             w = np.transpose(w, (1, 0))
         out[tkey] = w

@@ -18,6 +18,12 @@ import jax
 # The axon TPU plugin ignores the env var; the config flag wins.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: the train-step tests compile multi-minute graphs;
+# repeated pytest runs reuse them.
+from csbsr_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache(os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu"))
+
 import numpy as np
 import pytest
 

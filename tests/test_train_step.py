@@ -41,6 +41,7 @@ def tiny_cfg(**overrides):
     cfg.BLUR.KERNEL_SIZE = 7
     cfg.BLUR.KERNEL_SIZE_OUTPUT = 7
     cfg.INPUT.IMAGE_SIZE = [32, 32]
+    cfg.TPU.COMPUTE_DTYPE = "float32"  # bf16 is emulated (slow) on CPU
     for k, v in overrides.items():
         node = cfg
         parts = k.split(".")

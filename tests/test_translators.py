@@ -1,0 +1,60 @@
+"""Translator coverage: every param leaf of each model maps to a torch key,
+and export -> convert-back round-trips identically."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from flax import traverse_util
+
+from csbsr_tpu.utils.torch_convert import convert_tree, export_params_to_torch_names
+from csbsr_tpu.utils import translators
+
+
+def _roundtrip(params, batch_stats, translate, allow_missing=()):
+    flat = traverse_util.flatten_dict(params)
+    untranslated = []
+    for path in flat:
+        kind = {"kernel": "kernel", "bias": "bias", "scale": "scale",
+                "alpha": "alpha", "embedding": "kernel"}.get(str(path[-1]), str(path[-1]))
+        if translate(path, kind) is None and not any(a in "/".join(map(str, path)) for a in allow_missing):
+            untranslated.append("/".join(map(str, path)))
+    assert not untranslated, f"untranslated leaves: {untranslated[:10]}"
+
+    sd = export_params_to_torch_names(params, translate)
+    back, _ = convert_tree(params, {}, sd, translate)
+    for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(back)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_kbpn_translator_full_coverage():
+    from csbsr_tpu.models.kbpn import KBPN
+
+    m = KBPN(scale_factor=4, num_stages=2, estimate_ksize=7, ksize_output=7)
+    x = jnp.zeros((1, 8, 8, 3))
+    params = m.init(jax.random.PRNGKey(0), x, None, False, train=False)["params"]
+    _roundtrip(params, {}, translators.translate_kbpn)
+
+
+def test_dbpn_translator_full_coverage():
+    from csbsr_tpu.models.dbpn import DBPN
+
+    m = DBPN(scale_factor=4, num_stages=4)
+    params = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))["params"]
+    _roundtrip(params, {}, translators.translate_dbpn)
+
+
+def test_unet16_translator_full_coverage():
+    from csbsr_tpu.models.unet import UNet16
+
+    m = UNet16(up_sampling_method="deconv")
+    params = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))["params"]
+    _roundtrip(params, {}, translators.translate_unet16)
+
+
+def test_pspnet_translator_full_coverage():
+    from csbsr_tpu.models.pspnet import PSPNet
+
+    m = PSPNet(n_classes=1)
+    variables = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    _roundtrip(variables["params"], variables.get("batch_stats", {}),
+               translators.translate_pspnet)
