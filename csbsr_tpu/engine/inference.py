@@ -43,7 +43,19 @@ def build_infer_fn(cfg, model, variables):
         k2d = kvec.reshape(-1, ksize_out, ksize_out)
         return outputs["sr"], outputs["seg"], k2d
 
-    return lambda patches: _infer(variables, patches)
+    def infer(patches):
+        # bucket the patch count to the next power of two: test images vary
+        # in size, and without bucketing every new patch count recompiles
+        n = patches.shape[0]
+        bucket = 1 << (n - 1).bit_length()
+        if bucket != n:
+            pad = jnp.zeros((bucket - n, *patches.shape[1:]), patches.dtype)
+            padded = jnp.concatenate([patches, pad], axis=0)
+            sr, seg, k2d = _infer(variables, padded)
+            return sr[:n], seg[:n], k2d[:n]
+        return _infer(variables, patches)
+
+    return infer
 
 
 def inference_for_ss(

@@ -115,10 +115,24 @@ def build_loss_fn(cfg) -> Callable:
         seg_targets = batch["seg"].astype(jnp.float32)
 
         # ---- segmentation loss (calc_ss_loss, build_model.py:258-278)
-        seg_loss = seg_loss_fn(seg_preds, seg_targets, alpha)
+        if sr_seg_inv and "lr_seg" in outputs:
+            # JointInv (build_model.py:508-516): seg loss on the LR seg map
+            # vs the downsampled target; the SR loss upgrades the seg map.
+            from ..ops.resize import resize as _resize
+
+            lr_pred = outputs["lr_seg"].astype(jnp.float32)
+            lr_tgt = _resize(seg_targets, lr_pred.shape[1:3], method=downscale_method)
+            seg_loss = seg_loss_fn(lr_pred, lr_tgt, alpha)
+        else:
+            seg_loss = seg_loss_fn(seg_preds, seg_targets, alpha)
         if outputs.get("aux") is not None:
             aux = outputs["aux"].astype(jnp.float32)
-            if detector == "CrackFormer":
+            if sr_seg_inv:
+                from ..ops.resize import resize as _resize
+
+                aux_tgt = _resize(seg_targets, aux.shape[1:3], method=downscale_method)
+                aux_loss = seg_loss_fn(aux, aux_tgt, alpha)
+            elif detector == "CrackFormer":
                 # aux = stacked side maps; loss scaled by their count
                 # (build_model.py:264-266)
                 n_sides = aux.shape[-1]

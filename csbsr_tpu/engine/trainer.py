@@ -227,10 +227,24 @@ def do_train(
 
         if eval_fn is not None and eval_step_every and iteration % eval_step_every == 0:
             scores: Dict[str, list] = {}
+            first_eval = True
             for eb in eval_batches:
-                m, _ = eval_fn(state, shard_batch({k: jnp.asarray(v) for k, v in eb.items()}, mesh))
+                m, outputs = eval_fn(state, shard_batch({k: jnp.asarray(v) for k, v in eb.items()}, mesh))
                 for k, v in m.items():
                     scores.setdefault(k, []).append(np.asarray(v))
+                if first_eval and not debug:
+                    # sample dumps of the first eval batch (trainer.py:186-227)
+                    from ..utils.save_output import save_img
+
+                    pred_dir = os.path.join(cfg.OUTPUT_DIR, "pred")
+                    n = min(4, eb["hr"].shape[0])
+                    save_img(pred_dir, np.asarray(eb["lr"][:n]), [f"lr{iteration}_{i}.png" for i in range(n)])
+                    save_img(pred_dir, np.clip(np.asarray(outputs["sr"][:n], np.float32), 0, 1),
+                             [f"sr{iteration}_{i}.png" for i in range(n)])
+                    save_img(pred_dir, np.asarray(eb["hr"][:n]), [f"hr{iteration}_{i}.png" for i in range(n)])
+                    save_img(pred_dir, np.asarray(outputs["seg"][:n], np.float32),
+                             [f"seg{iteration}_{i}.png" for i in range(n)])
+                    first_eval = False
             means = {k: float(np.concatenate(v).mean()) for k, v in scores.items()}
             log_fn(f"=====> Eval @ {iteration}: " + ", ".join(f"{k}={v:.4f}" for k, v in means.items()))
             mlog.log({f"eval/{k}": v for k, v in means.items()}, step=iteration)

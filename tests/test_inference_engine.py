@@ -1,0 +1,95 @@
+"""Engine-level inference harness test (CPU, tiny model, synthetic fixture)."""
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from tests.test_train_step import tiny_cfg
+
+
+@pytest.fixture(scope="module")
+def fixture_dirs(tmp_path_factory):
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("testdata")
+    img_dir = root / "gt" / "images"
+    mask_dir = root / "gt" / "masks"
+    img_dir.mkdir(parents=True)
+    mask_dir.mkdir(parents=True)
+    rng = np.random.RandomState(7)
+    for i in range(2):
+        Image.fromarray((rng.rand(64, 64, 3) * 255).astype(np.uint8)).save(img_dir / f"im{i}.jpg")
+        Image.fromarray(((rng.rand(64, 64) > 0.8) * 255).astype(np.uint8), "L").save(
+            mask_dir / f"im{i}.jpg"
+        )
+    from csbsr_tpu.data.make_test_blur import make_test_blur_dir
+
+    blur_root = root / "test_blured" / "02_40"
+    n = make_test_blur_dir(str(img_dir), str(blur_root), kernel_size=7)
+    assert n == 2
+    return str(img_dir), str(mask_dir), str(root / "test_blured")
+
+
+def test_inference_for_ss_end_to_end(fixture_dirs, tmp_path):
+    img_dir, mask_dir, blur_dir = fixture_dirs
+    cfg = tiny_cfg(**{
+        "INPUT.IMAGE_SIZE": [32, 32],  # patch 8 -> 2x2 patches per 16px LR
+        "BLUR.KERNEL_SIZE_OUTPUT": 7,
+        "DATASET.TEST_IMAGE_DIR": img_dir,
+        "DATASET.TEST_MASK_DIR": mask_dir,
+        "DATASET.TEST_BLURED_DIR": blur_dir,
+    })
+    from csbsr_tpu.data import CrackDataSetTest
+    from csbsr_tpu.engine.inference import inference_for_ss
+    from csbsr_tpu.models import model_from_cfg
+
+    model = model_from_cfg(cfg)
+    patches0 = jnp.zeros((4, 8, 8, 3))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, patches0, None, False, train=False
+    )
+    ds = CrackDataSetTest(cfg, img_dir, mask_dir, blur_dir, "02_40")
+    out_dir = str(tmp_path / "eval")
+    summary = inference_for_ss(
+        cfg, model, variables, ds, output_dir=out_dir,
+        test_aiu=True, test_surface_distance=True, save_images=True,
+        log_fn=lambda *a: None,
+    )
+    for key in ("PSNR", "SSIM", "AIU", "IoU_max", "AHD", "AMSD"):
+        assert key in summary and np.isfinite(summary[key]), (key, summary)
+    assert os.path.isfile(os.path.join(out_dir, "iou_log.csv"))
+    assert os.path.isdir(os.path.join(out_dir, "masks", "th_0.50"))
+    assert os.path.isdir(os.path.join(out_dir, "images"))
+
+
+def test_chop_forward_matches_direct(rng):
+    from csbsr_tpu.utils.misc import chop_forward
+    from csbsr_tpu.ops.resize import resize
+
+    x = jnp.asarray(rng.rand(1, 32, 32, 3).astype(np.float32))
+
+    def fwd(v):
+        return resize(v, (v.shape[1] * 4, v.shape[2] * 4), method="bilinear")
+
+    # tiling a *local* operator reproduces the direct result in the interior
+    direct = np.asarray(fwd(x))
+    tiled = np.asarray(chop_forward(x, fwd, scale=4, shave=4, min_size=10**9))
+    assert tiled.shape == direct.shape
+    np.testing.assert_allclose(tiled[:, 16:-16, 16:-16], direct[:, 16:-16, 16:-16], atol=1e-4)
+
+
+def test_sr_seg_inv_step(rng):
+    from tests.test_train_step import make_batch, _setup
+
+    cfg = tiny_cfg(**{
+        "MODEL.SR_SEG_INV": True,
+        "MODEL.DETECTOR_TYPE": "u-net16",
+        "SOLVER.SR_LOSS_FUNC": "L1",
+        "SOLVER.SEG_LOSS_FUNC": "Dice",
+    })
+    batch = make_batch(rng)
+    model, pc, state, step = _setup(cfg, batch)
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
