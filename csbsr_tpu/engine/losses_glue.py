@@ -12,6 +12,7 @@ from typing import Callable, Dict, NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..ops.resize import resize as _resize
 from ..losses import (
     bce,
     bce_dice,
@@ -118,8 +119,6 @@ def build_loss_fn(cfg) -> Callable:
         if sr_seg_inv and "lr_seg" in outputs:
             # JointInv (build_model.py:508-516): seg loss on the LR seg map
             # vs the downsampled target; the SR loss upgrades the seg map.
-            from ..ops.resize import resize as _resize
-
             lr_pred = outputs["lr_seg"].astype(jnp.float32)
             lr_tgt = _resize(seg_targets, lr_pred.shape[1:3], method=downscale_method)
             seg_loss = seg_loss_fn(lr_pred, lr_tgt, alpha)
@@ -128,8 +127,6 @@ def build_loss_fn(cfg) -> Callable:
         if outputs.get("aux") is not None:
             aux = outputs["aux"].astype(jnp.float32)
             if sr_seg_inv:
-                from ..ops.resize import resize as _resize
-
                 aux_tgt = _resize(seg_targets, aux.shape[1:3], method=downscale_method)
                 aux_loss = seg_loss_fn(aux, aux_tgt, alpha)
             elif detector == "CrackFormer":
