@@ -24,7 +24,13 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .blocks import ConvBlock, DeconvBlock, ConvAndPixelShuffleBlock, kaiming_normal_leaky
+from .blocks import (
+    ConvBlock,
+    DeconvBlock,
+    ConvAndPixelShuffleBlock,
+    kaiming_normal_leaky,
+    xavier_normal,
+)
 from ..ops.resize import resize
 from ..ops.blur import batch_blur
 from ..ops.banded import (
@@ -33,6 +39,7 @@ from ..ops.banded import (
     banded_conv1x1,
     materialize,
 )
+from ..ops.gap_conv import gap_conv3x3
 
 
 class _ConvParams(nn.Module):
@@ -41,10 +48,12 @@ class _ConvParams(nn.Module):
 
     shape: tuple
     use_bias: bool = False
+    kernel_init: Any = None
 
     @nn.compact
     def __call__(self):
-        k = self.param("kernel", kaiming_normal_leaky(0.01), self.shape)
+        init = self.kernel_init or kaiming_normal_leaky(0.01)
+        k = self.param("kernel", init, self.shape)
         b = self.param("bias", nn.initializers.zeros, (self.shape[-1],)) if self.use_bias else None
         return k, b
 
@@ -98,6 +107,23 @@ class _SplitCat1x1(nn.Module):
         h, w = full_map.shape[1:3]
         out = out_full + materialize(out_band, h, w)
         return nn.leaky_relu(out, 0.01)
+
+class _GAPConv3x3Block(nn.Module):
+    """GAP(ConvBlock(k=3, bias=False, act=None, norm=None)(x)) computed via
+    ops.gap_conv.gap_conv3x3.  Param-path compatible with ConvBlock
+    (<name>/conv/kernel), so checkpoints interchange with the dense form."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        # init matches ConvBlock's convention for activation=None (xavier)
+        k, _ = _ConvParams(
+            (3, 3, x.shape[-1], self.features),
+            kernel_init=xavier_normal(1.0), name="conv",
+        )()
+        return gap_conv3x3(x, k)
+
 
 _CONV_SETTING = {2: (6, 2, 2), 4: (8, 4, 2), 8: (12, 8, 2)}
 
@@ -197,8 +223,10 @@ class KernelPredictorLikeIKC(nn.Module):
 
         d = _SplitCat1x1(red, dtype=self.dtype, name="fe_cat0")(fsr, fh_b)
         d = cb(red, 3, 1, "lrelu", "fe_cat1")(d, train)
-        d = cb(kernel_ch, 3, 1, None, "fe_cat2")(d, train)
-        delta = jnp.mean(d, axis=(1, 2))  # (B, est^2)
+        # fe_cat2 (3x3 conv, no bias/act) feeds straight into a GAP; the
+        # composition collapses to border-corrected partial sums
+        # (ops/gap_conv.py) - exact, and skips a 441-channel HR map.
+        delta = _GAPConv3x3Block(kernel_ch, name="fe_cat2")(d)  # (B, est^2)
 
         if self.ksize_output != self.estimate_ksize:
             k2d = delta.reshape(-1, self.estimate_ksize, self.estimate_ksize, 1)

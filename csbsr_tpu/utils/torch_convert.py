@@ -75,6 +75,10 @@ def convert_tree(params, batch_stats, torch_sd: Dict[str, np.ndarray], translate
                 # conv (O,I,kh,kw)->(kh,kw,I,O) and deconv (I,O,kh,kw)->
                 # (kh,kw,O,I) are the same permutation
                 w = _conv_w(w)
+            elif kind == "kernel" and w.ndim == 5:
+                # CrackFormer LocalSABlock positional embedding
+                # (kk, u=1, 1, m, m) -> flax HWIO (m, m, 1, kk)
+                w = np.transpose(w[:, 0], (2, 3, 1, 0))
             elif kind == "kernel" and w.ndim == 2:
                 w = np.transpose(w, (1, 0))
             elif kind == "alpha":
@@ -122,7 +126,7 @@ def export_params_to_torch_names(params, translate) -> Dict[str, np.ndarray]:
     for path, leaf in flat.items():
         name = path[-1]
         kind = {"kernel": "kernel", "bias": "bias", "scale": "scale",
-                "alpha": "alpha"}.get(name, name)
+                "alpha": "alpha", "embedding": "kernel"}.get(name, name)
         tkey = translate(path, kind)
         if tkey is None:
             continue

@@ -201,3 +201,294 @@ def translate_pspnet(path: Tuple, kind: str) -> Optional[str]:
     if head.startswith("prelu"):
         return None
     return None
+
+
+_BN_SUFFIX = {
+    "kernel": "weight", "bias": "bias", "scale": "weight",
+    "mean": "running_mean", "var": "running_var", "alpha": "weight",
+}
+
+
+def translate_hrnet_ocr(path: Tuple, kind: str) -> Optional[str]:
+    """HRNet_W48_OCR torch names.
+
+    Backbone: `hrnet_ocr/backbones/hrnet/hrnet_backbone.py:295-560`
+    (conv1/bn1/conv2/bn2, layer1.{b}, transition{t}.{i}[.{j}] Sequentials,
+    stage{s}.{m}.branches.{i}.{b} and .fuse_layers.{i}.{j}).
+    OCR head: `nets/hrnet.py:101-140` (conv3x3 / aux_head / cls_head /
+    ocr_distri_head.object_context_block.f_{pixel,object,down,up} where each
+    Sequential interleaves Conv2d and BNReLU=Sequential(BN, ReLU)).
+    """
+    p = [str(x) for x in path[:-1]]
+    if not p:
+        return None
+    sfx = _BN_SUFFIX[kind]
+    head = p[0]
+
+    if head == "backbone":
+        sub = p[1]
+        if sub in ("conv1", "bn1", "conv2", "bn2"):
+            return f"backbone.{sub}.{sfx}"
+        m = re.match(r"layer1_(\d+)", sub)
+        if m:
+            inner = p[2]
+            if inner == "ds_conv":
+                return f"backbone.layer1.{m.group(1)}.downsample.0.{sfx}"
+            if inner == "ds_bn":
+                return f"backbone.layer1.{m.group(1)}.downsample.1.{sfx}"
+            return f"backbone.layer1.{m.group(1)}.{inner}.{sfx}"
+        m = re.match(r"transition(\d)_(\d+)_(conv|bn)(\d*)", sub)
+        if m:
+            t, i, kindc, j = m.groups()
+            slot = "0" if kindc == "conv" else "1"
+            if j == "":
+                return f"backbone.transition{t}.{i}.{slot}.{sfx}"
+            return f"backbone.transition{t}.{i}.{j}.{slot}.{sfx}"
+        m = re.match(r"stage(\d)_m(\d+)", sub)
+        if m:
+            s, mod = m.groups()
+            inner = p[2]
+            mb = re.match(r"branch(\d+)_block(\d+)", inner)
+            if mb:
+                i, b = mb.groups()
+                leafname = p[3]
+                if leafname == "ds_conv":
+                    return f"backbone.stage{s}.{mod}.branches.{i}.{b}.downsample.0.{sfx}"
+                if leafname == "ds_bn":
+                    return f"backbone.stage{s}.{mod}.branches.{i}.{b}.downsample.1.{sfx}"
+                return f"backbone.stage{s}.{mod}.branches.{i}.{b}.{leafname}.{sfx}"
+            mf = re.match(r"fuse(\d+)_(\d+)_(conv|bn)(\d*)", inner)
+            if mf:
+                i, j, kindc, k = mf.groups()
+                slot = "0" if kindc == "conv" else "1"
+                base = f"backbone.stage{s}.{mod}.fuse_layers.{i}.{j}"
+                if k == "":  # j > i: Sequential(Conv, BN)
+                    return f"{base}.{slot}.{sfx}"
+                return f"{base}.{k}.{slot}.{sfx}"  # j < i: nested Sequentials
+        return None
+
+    if head == "aux_conv0":
+        return f"aux_head.0.{sfx}"
+    if head == "aux_bn":
+        return f"aux_head.1.0.{sfx}"
+    if head == "aux_conv1":
+        return f"aux_head.2.{sfx}"
+    if head == "conv3x3":
+        return f"conv3x3.0.{sfx}"
+    if head == "conv3x3_bn":
+        return f"conv3x3.1.0.{sfx}"
+    if head == "cls_head":
+        return f"cls_head.{sfx}"
+    if head == "ocr_distri_head":
+        sub = p[1]
+        if sub == "conv":
+            return f"ocr_distri_head.conv_bn_dropout.0.{sfx}"
+        if sub == "bn":
+            return f"ocr_distri_head.conv_bn_dropout.1.0.{sfx}"
+        if sub == "oab":
+            m = re.match(r"(f_pixel|f_object|f_down|f_up)_(conv|bn)(\d)", p[2])
+            if m:
+                fname, kindc, idx = m.groups()
+                # Sequential(Conv, BNReLU, [Conv, BNReLU]): conv i -> 2i,
+                # bn i -> 2i+1 then .0 inside BNReLU
+                slot = 2 * int(idx) + (0 if kindc == "conv" else 1)
+                tail = f"{slot}.{sfx}" if kindc == "conv" else f"{slot}.0.{sfx}"
+                return f"ocr_distri_head.object_context_block.{fname}.{tail}"
+    return None
+
+
+def translate_crackformer(path: Tuple, kind: str) -> Optional[str]:
+    """CrackFormer torch names (`crackformer.py:421-488,155-260`).
+
+    Trans_EB at flax `downX_nnY`/`upX_nnY` -> torch `downX.nnY.conv.*`
+    (Bottleneck); the TFBlock lives in `conv2.0`; LocalSABlock q/k/v are
+    Sequential(Conv, GroupNorm); the positional embedding is a 5-D parameter
+    (kk, u=1, 1, m, m).
+    """
+    p = [str(x) for x in path[:-1]]
+    if not p:
+        return None
+    sfx = _BN_SUFFIX["kernel" if kind == "embedding" else kind]
+    head = p[0]
+
+    if head == "final":
+        return f"final.{sfx}"
+    if head == "down1_nn1":  # ConvRelu: .conv is a bare Conv2d
+        return f"down1.nn1.conv.{sfx}"
+    m = re.match(r"(down|up)(\d)_nn(\d)", head)
+    if m and len(p) >= 3 and p[1] == "conv":
+        # flax TransEB wraps Bottleneck under 'conv' (= torch Trans_EB.conv)
+        base = f"{m.group(1)}{m.group(2)}.nn{m.group(3)}.conv"
+        sub = p[2]
+        if sub in ("conv1", "bn1", "conv3", "bn3"):
+            return f"{base}.{sub}.{sfx}"
+        if sub == "shortcut_conv":
+            return f"{base}.shortcut.0.{sfx}"
+        if sub == "shortcut_gn":
+            return f"{base}.shortcut.1.{sfx}"
+        if sub == "tf":  # TFBlock at conv2.0
+            tf = f"{base}.conv2.0"
+            inner = p[3]
+            if inner == "attn":
+                leafname = str(path[-1])
+                if leafname == "embedding":
+                    return f"{tf}.attn.embedding"
+                ma = re.match(r"(queries|keys|values)_(conv|gn)", p[4])
+                if ma:
+                    slot = "0" if ma.group(2) == "conv" else "1"
+                    return f"{tf}.attn.{ma.group(1)}.{slot}.{sfx}"
+                return None
+            if inner == "mlp":
+                sub2 = p[4]
+                if sub2 == "dwconv":
+                    return f"{tf}.mlp.dwconv.dwconv.{sfx}"
+                if sub2 in ("fc1", "fc2", "gn1", "gn2", "gn3"):
+                    return f"{tf}.mlp.{sub2}.{sfx}"
+        return None
+    m = re.match(r"LABlock_(\d)", head)
+    if m:
+        sub = p[1]
+        table = {"W1_conv": "W_1.0", "W1_gn": "W_1.1", "psi_conv": "psi.0", "psi_gn": "psi.1"}
+        if sub in table:
+            return f"LABlock_{m.group(1)}.{table[sub]}.{sfx}"
+        return None
+    m = re.match(r"fuse(\d)", head)
+    if m:
+        sub = p[1]
+        if sub == "nn_conv":  # Fuse.nn = ConvRelu(...).conv is passed in as `nn`
+            return f"fuse{m.group(1)}.nn.conv.{sfx}"
+        if sub == "conv":
+            return f"fuse{m.group(1)}.conv.{sfx}"
+    return None
+
+
+def translate_srcnet_sr(path: Tuple, kind: str) -> Optional[str]:
+    """SrcNetSR torch names (`srcnet.py:26-86`): rir.res_groups.{g}.res_blocks.{b}."""
+    p = [str(x) for x in path[:-1]]
+    if not p:
+        return None
+    sfx = _BN_SUFFIX[kind]
+    head = p[0]
+    if head in ("sconv1", "sconv2", "upscaling"):
+        return f"{head}.{sfx}"
+    if head == "rir_conv":
+        return f"rir.conv.{sfx}"
+    m = re.match(r"rg(\d+)_conv", head)
+    if m:
+        return f"rir.res_groups.{m.group(1)}.conv.{sfx}"
+    m = re.match(r"rg(\d+)_rb(\d+)", head)
+    if m:
+        g, b = m.groups()
+        base = f"rir.res_groups.{g}.res_blocks.{b}"
+        table = {"fe1_0": "fe1.0", "fe1_1": "fe1.2", "att_0": "attention.1", "att_1": "attention.3"}
+        sub = p[1]
+        if sub in table:
+            return f"{base}.{table[sub]}.{sfx}"
+    return None
+
+
+def translate_segnet(path: Tuple, kind: str) -> Optional[str]:
+    """SegNet torch names (`srcnet.py:91-260`).
+
+    The reference applies decoder convs in descending index order
+    (ConvDe53 -> ConvDe52 -> ConvDe51, forward `srcnet.py:218-243`); our
+    flax names are in application order, so flax De{s}{j} (1-based, n convs
+    in stage s) maps to torch De{s}{n+1-j}.  The final 1x1 flax `convDe1f`
+    is torch `ConvDe11` (whose declared BNDe11 is unused in forward).
+    """
+    p = [str(x) for x in path[:-1]]
+    if not p:
+        return None
+    sfx = _BN_SUFFIX[kind]
+    n_convs = {"En1": 2, "En2": 2, "En3": 3, "En4": 3, "En5": 3,
+               "De5": 3, "De4": 3, "De3": 3, "De2": 2, "De1": 1}
+    head = p[0]
+    if head == "convDe1f":
+        return f"ConvDe11.{sfx}"
+    m = re.match(r"(conv|bn)(En|De)(\d)(\d)", head)
+    if m:
+        kindc, phase, s, j = m.groups()
+        tname = "Conv" if kindc == "conv" else "BN"
+        if phase == "En":
+            return f"{tname}En{s}{j}.{sfx}"
+        n = n_convs[f"De{s}"]
+        jj = n + 1 - int(j)
+        if s == "1":
+            jj = 2  # flax De11 is torch ConvDe12 (ConvDe11 is the final 1x1)
+        return f"{tname}De{s}{jj}.{sfx}"
+    return None
+
+
+def make_translate_dsrl(scale_factor: int = 4):
+    """DSRL torch names (`DSRL/deeplab.py:29-180`, `aspp.py`, `decoder.py`,
+    `sr_decoder.py`, `backbone/resnet.py`).
+
+    DeepLab (x2) names its deconv chain up_sr_1..3; DeepLabx4 up_sr_0..3 -
+    the flax chain is 0-based in application order, hence the offset."""
+    offset = 0 if scale_factor == 4 else 1
+
+    def translate(path: Tuple, kind: str) -> Optional[str]:
+        p = [str(x) for x in path[:-1]]
+        if not p:
+            return None
+        sfx = _BN_SUFFIX[kind]
+        head = p[0]
+        if head == "backbone":
+            sub = p[1]
+            if sub in ("conv1", "bn1"):
+                return f"backbone.{sub}.{sfx}"
+            m = re.match(r"layer(\d)_(\d+)", sub)
+            if m:
+                lay, b = m.groups()
+                inner = p[2]
+                if inner == "ds_conv":
+                    return f"backbone.layer{lay}.{b}.downsample.0.{sfx}"
+                if inner == "ds_bn":
+                    return f"backbone.layer{lay}.{b}.downsample.1.{sfx}"
+                return f"backbone.layer{lay}.{b}.{inner}.{sfx}"
+            return None
+        if head == "aspp":
+            sub = p[1]
+            m = re.match(r"aspp(\d)_(conv|bn)", sub)
+            if m:
+                i, kindc = m.groups()
+                leafn = "atrous_conv" if kindc == "conv" else "bn"
+                return f"aspp.aspp{i}.{leafn}.{sfx}"
+            if sub == "gap_conv":
+                return f"aspp.global_avg_pool.1.{sfx}"
+            if sub == "gap_bn":
+                return f"aspp.global_avg_pool.2.{sfx}"
+            if sub in ("conv1", "bn1"):
+                return f"aspp.{sub}.{sfx}"
+            return None
+        if head in ("decoder", "sr_decoder"):
+            sub = p[1]
+            table = {"conv1": "conv1", "bn1": "bn1", "last0": "last_conv.0",
+                     "last0_bn": "last_conv.1", "last1": "last_conv.4",
+                     "last1_bn": "last_conv.5", "last2": "last_conv.8"}
+            if sub in table:
+                return f"{head}.{table[sub]}.{sfx}"
+            return None
+        m = re.match(r"up_sr_(\d)", head)
+        if m:
+            return f"up_sr_{int(m.group(1)) + offset}.{sfx}"
+        m = re.match(r"up_edsr_(\d)", head)
+        if m:
+            i = int(m.group(1)) + offset
+            sub = p[1]
+            table = {"conv0": "conv.0", "conv1": "conv.2", "res": "residual_upsampler.0"}
+            if sub in table:
+                return f"up_edsr_{i}.{table[sub]}.{sfx}"
+            return None
+        if head == "up_conv_last":
+            return f"up_conv_last.{sfx}"
+        if head == "pointwise_conv":
+            return f"pointwise.0.{sfx}"
+        if head == "pointwise_bn":
+            return f"pointwise.1.{sfx}"
+        return None
+
+    return translate
+
+
+translate_dsrl = make_translate_dsrl(4)

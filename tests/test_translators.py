@@ -58,3 +58,64 @@ def test_pspnet_translator_full_coverage():
     variables = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
     _roundtrip(variables["params"], variables.get("batch_stats", {}),
                translators.translate_pspnet)
+
+
+def test_hrnet_ocr_translator_full_coverage():
+    from csbsr_tpu.models.hrnet_ocr import HRNetW48OCR
+
+    m = HRNetW48OCR(num_classes=1)
+    variables = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    _roundtrip(variables["params"], variables.get("batch_stats", {}),
+               translators.translate_hrnet_ocr)
+
+
+def test_crackformer_translator_full_coverage():
+    from csbsr_tpu.models.crackformer import CrackFormer
+
+    m = CrackFormer()
+    variables = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    _roundtrip(variables["params"], variables.get("batch_stats", {}),
+               translators.translate_crackformer)
+
+
+def test_srcnet_sr_translator_full_coverage():
+    from csbsr_tpu.models.srcnet import SrcNetSR
+
+    m = SrcNetSR(scale_factor=4, n_groups=2, n_blocks=3)
+    params = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))["params"]
+    _roundtrip(params, {}, translators.translate_srcnet_sr)
+
+
+def test_segnet_translator_full_coverage():
+    from csbsr_tpu.models.srcnet import SegNet
+
+    m = SegNet()
+    variables = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    _roundtrip(variables["params"], variables.get("batch_stats", {}),
+               translators.translate_segnet)
+
+
+def test_segnet_decoder_order_mapping():
+    """flax De{s}{j} (application order) maps to torch descending indices."""
+    t = translators.translate_segnet
+    assert t(("convDe51", "conv", "kernel"), "kernel") == "ConvDe53.weight"
+    assert t(("convDe53", "conv", "kernel"), "kernel") == "ConvDe51.weight"
+    assert t(("bnDe42", "scale"), "scale") == "BNDe42.weight"
+    assert t(("convDe21", "conv", "kernel"), "kernel") == "ConvDe22.weight"
+    assert t(("convDe11", "conv", "kernel"), "kernel") == "ConvDe12.weight"
+    assert t(("convDe1f", "kernel"), "kernel") == "ConvDe11.weight"
+
+
+def test_dsrl_translator_full_coverage():
+    from csbsr_tpu.models.dsrl import DSRL
+
+    m = DSRL(num_classes=1, scale_factor=4)
+    variables = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    _roundtrip(variables["params"], variables.get("batch_stats", {}),
+               translators.translate_dsrl)
+
+
+def test_dsrl_x2_offset():
+    t = translators.make_translate_dsrl(2)
+    assert t(("up_sr_0", "kernel"), "kernel") == "up_sr_1.weight"
+    assert t(("up_edsr_2", "conv0", "kernel"), "kernel") == "up_edsr_3.conv.0.weight"
