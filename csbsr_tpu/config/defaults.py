@@ -120,6 +120,10 @@ _C.TPU.COMPUTE_DTYPE = "bfloat16"  # conv/matmul compute dtype
 _C.TPU.PARAM_DTYPE = "float32"
 _C.TPU.REMAT = False  # jax.checkpoint the SR stages
 _C.TPU.DEGRADE_ON_DEVICE = True  # fuse blur+downsample into the train step
+# oriented-weight variant: "exp" (the reference's active classes) or
+# "linear" (its commented-out Gaussian-conv alternatives,
+# oriented_weight.py:36-44,61-70 / sr_loss_functions.py:35-38)
+_C.TPU.ORIENTED_WEIGHT_VARIANT = "exp"
 
 
 def get_cfg_defaults() -> CN:

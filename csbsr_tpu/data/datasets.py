@@ -176,6 +176,75 @@ class MassRoadDataset:
         return img.astype(np.float32), seg.astype(np.float32)
 
 
+class SubsetView:
+    """Index-restricted view of a train dataset (reference random_splits 95/5
+    with torch.utils.data.random_split, `train.py:52-57`; this is the JAX-side
+    equivalent over explicit seeded indices)."""
+
+    def __init__(self, dataset, indices):
+        self.dataset = dataset
+        self.indices = list(indices)
+
+    def __len__(self):
+        return len(self.indices)
+
+    def get(self, i, rng=None):
+        return self.dataset.get(self.indices[i], rng)
+
+
+class RetinalDataSetTest:
+    """Retinal test set (`retinal_dataset.py:70-126`): png pairs, mask values
+    scaled x255 (kept binary after /255), precomputed LR + kernel like
+    CrackDataSetTest."""
+
+    def __init__(self, cfg, image_dir, seg_dir, blur_dir, blur_name):
+        self.gt_image_dir = image_dir
+        self.gt_seg_dir = seg_dir
+        self.gt_blur_dir = os.path.join(blur_dir, blur_name, "kernels")
+        self.input_image_dir = os.path.join(blur_dir, blur_name, "lr_images")
+        self.fnames = sorted(p.name for p in Path(image_dir).glob("*.png"))
+        self.transforms = TestTransforms(cfg)
+        self.scale_factor = cfg.MODEL.SCALE_FACTOR
+        self.seg_ch = cfg.MODEL.NUM_CLASSES
+        self.patch_h, self.patch_w = [int(i / self.scale_factor) for i in cfg.INPUT.IMAGE_SIZE]
+
+    def __len__(self):
+        return len(self.fnames)
+
+    def get(self, i: int):
+        fname = self.fnames[i]
+        sr_target = _imread(os.path.join(self.gt_image_dir, fname))
+        seg_target = _imread(os.path.join(self.gt_seg_dir, fname))[:, :, :1] * 255
+        sr_target, seg_target = self.transforms(sr_target, seg_target)
+
+        kernel = _imread(os.path.join(self.gt_blur_dir, fname)).astype(np.float32) / 255.0
+        kernel = kernel[:, :, 0]
+        kernel = kernel / kernel.sum()
+
+        if self.scale_factor != 1:
+            lr = _imread(os.path.join(self.input_image_dir, fname))
+            lr, _ = self.transforms(lr, None)
+        else:
+            lr = sr_target
+
+        patches, ushape = split_patch(lr, self.patch_h, self.patch_w)
+        ushape = np.asarray(ushape).copy()
+        ushape[[5, 6]] = ushape[[5, 6]] * self.scale_factor
+        seg_ushape = ushape.copy()
+        seg_ushape[[1, 4]] = self.seg_ch
+        num_patch = int(ushape[2] * ushape[3])
+        kernels = np.broadcast_to(kernel, (num_patch, *kernel.shape)).copy()
+        return (
+            np.asarray(patches, np.float32),
+            sr_target.astype(np.float32),
+            seg_target.astype(np.float32),
+            kernels.astype(np.float32),
+            fname,
+            ushape,
+            seg_ushape,
+        )
+
+
 class TTICrackDataSetTest:
     """Unlabeled real-image test set (`crack_dataset.py:145-172`): png only,
     patched for inference; no GT."""

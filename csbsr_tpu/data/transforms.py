@@ -127,6 +127,154 @@ class RandomResizedCrop:
         return img, mask
 
 
+def image_clipping(image):
+    """Clip to the pre-normalisation [0, 255] range (transforms.py:37-42)."""
+    return np.clip(image, 0, 255)
+
+
+class RandomContrast:
+    """transforms.py:329-341: x *= U(lower, upper) with prob 1/2, clipped."""
+
+    def __init__(self, lower=0.5, upper=1.5):
+        assert upper >= lower >= 0
+        self.lower, self.upper = lower, upper
+
+    def __call__(self, img, mask, rng):
+        if rng.randint(2):
+            img = img * rng.uniform(self.lower, self.upper)
+        return image_clipping(img), mask
+
+
+class RandomBrightness:
+    """transforms.py:344-354: x += U(-delta, delta) with prob 1/2, clipped."""
+
+    def __init__(self, delta=32):
+        assert 0.0 <= delta <= 255.0
+        self.delta = delta
+
+    def __call__(self, img, mask, rng):
+        if rng.randint(2):
+            img = img + rng.uniform(-self.delta, self.delta)
+        return image_clipping(img), mask
+
+
+class RandomSaturation:
+    """transforms.py:250-261: HSV S-channel *= U(lower, upper) with prob 1/2."""
+
+    def __init__(self, lower=0.5, upper=1.5):
+        assert upper >= lower >= 0
+        self.lower, self.upper = lower, upper
+
+    def __call__(self, img, mask, rng):
+        if rng.randint(2):
+            img = img.copy()
+            img[:, :, 1] *= rng.uniform(self.lower, self.upper)
+        return image_clipping(img), mask
+
+
+class RandomValue:
+    """transforms.py:264-275: HSV V-channel *= U(lower, upper) with prob 1/2."""
+
+    def __init__(self, lower=0.5, upper=1.5):
+        assert upper >= lower >= 0
+        self.lower, self.upper = lower, upper
+
+    def __call__(self, img, mask, rng):
+        if rng.randint(2):
+            img = img.copy()
+            img[:, :, 2] *= rng.uniform(self.lower, self.upper)
+        return image_clipping(img), mask
+
+
+class RandomHue:
+    """transforms.py:278-287: HSV H-channel += U(-delta, delta), wrapped
+    mod 180 (the reference keeps cv2's uint8 H convention even though the
+    float pipeline yields H in [0, 360) - behavior preserved)."""
+
+    def __init__(self, delta=18.0):
+        assert 0.0 <= delta <= 180.0
+        self.delta = delta
+
+    def __call__(self, img, mask, rng):
+        if rng.randint(2):
+            img = img.copy()
+            img[:, :, 0] += rng.uniform(-self.delta, self.delta)
+            img[:, :, 0] = img[:, :, 0] % 180
+        return img, mask
+
+
+class SwapChannels:
+    """transforms.py:369-390."""
+
+    def __init__(self, swaps):
+        self.swaps = swaps
+
+    def __call__(self, img):
+        return img[:, :, self.swaps]
+
+
+class RandomLightingNoise:
+    """transforms.py:292-303: random channel permutation with prob 1/2."""
+
+    PERMS = ((0, 1, 2), (0, 2, 1), (1, 0, 2), (1, 2, 0), (2, 0, 1), (2, 1, 0))
+
+    def __call__(self, img, mask, rng):
+        if rng.randint(2):
+            swap = self.PERMS[rng.randint(len(self.PERMS))]
+            img = SwapChannels(swap)(img)
+        return img, mask
+
+
+class ConvertColor:
+    """transforms.py:306-326: cv2 color-space conversion (on float arrays,
+    matching the reference's post-ConvertFromInts float pipeline)."""
+
+    def __init__(self, current, transform):
+        self.current, self.transform = current, transform
+
+    def __call__(self, img, mask, rng=None):
+        import cv2
+
+        pair = (self.current, self.transform)
+        codes = {
+            ("BGR", "HSV"): cv2.COLOR_BGR2HSV,
+            ("RGB", "HSV"): cv2.COLOR_RGB2HSV,
+            ("BGR", "RGB"): cv2.COLOR_BGR2RGB,
+            ("HSV", "BGR"): cv2.COLOR_HSV2BGR,
+            ("HSV", "RGB"): cv2.COLOR_HSV2RGB,
+        }
+        if pair not in codes:
+            raise NotImplementedError(pair)
+        return cv2.cvtColor(img, codes[pair]), mask
+
+
+class PhotometricDistort:
+    """transforms.py:393-416: brightness -> (contrast-first or contrast-last)
+    HSV saturation/value/hue chain -> lighting noise. Same draw order as the
+    reference so a seeded run is reproducible."""
+
+    def __init__(self):
+        self.pmd = [
+            RandomContrast(),
+            ConvertColor(current="RGB", transform="HSV"),
+            RandomSaturation(),
+            RandomValue(),
+            RandomHue(),
+            ConvertColor(current="HSV", transform="RGB"),
+            RandomContrast(),
+        ]
+        self.rand_brightness = RandomBrightness()
+        self.rand_light_noise = RandomLightingNoise()
+
+    def __call__(self, img, mask, rng):
+        img = np.ascontiguousarray(img, dtype=np.float32).copy()
+        img, mask = self.rand_brightness(img, mask, rng)
+        chain = self.pmd[:-1] if rng.randint(2) else self.pmd[1:]
+        for t in chain:
+            img, mask = t(img, mask, rng)
+        return self.rand_light_noise(img, mask, rng)
+
+
 _REGISTRY = {
     "ConvertFromInts": ConvertFromInts,
     "ToTensor": ToTensor,
@@ -134,6 +282,13 @@ _REGISTRY = {
     "RandomVerticalFlip": RandomVerticalFlip,
     "RandomCrop": RandomCrop,
     "RandomResizedCrop": RandomResizedCrop,
+    "PhotometricDistort": PhotometricDistort,
+    "RandomContrast": RandomContrast,
+    "RandomBrightness": RandomBrightness,
+    "RandomSaturation": RandomSaturation,
+    "RandomValue": RandomValue,
+    "RandomHue": RandomHue,
+    "RandomLightingNoise": RandomLightingNoise,
 }
 
 

@@ -67,6 +67,7 @@ def inference_for_ss(
     output_dir: str,
     test_aiu: bool = True,
     test_surface_distance: bool = False,
+    test_classification_metrics: bool = False,
     save_images: bool = False,
     log_fn=print,
 ) -> Dict[str, float]:
@@ -83,6 +84,10 @@ def inference_for_ss(
     fnames: List[str] = []
     psnr_scores, ssim_scores, kpsnr_scores = [], [], []
     aiu_rows, hd_rows, msd_rows = [], [], []
+    acc_scores, sens_scores, spec_scores = [], [], []
+    # the reference evaluates classification metrics at threshold index 49,
+    # i.e. 0.50 (`inference.py:125-127`)
+    cls_th = 0.5
 
     for i in range(len(dataset)):
         patches, sr_target, seg_target, kernels, fname, img_ushape, seg_ushape = dataset.get(i)
@@ -118,6 +123,16 @@ def inference_for_ss(
                 save_mask(output_dir, (seg_np > thresholds[idx]).astype(np.float32), [fname], thresholds[idx])
             save_mask(output_dir, seg_np, [fname], -1)
 
+        if test_classification_metrics:
+            from ..metrics.retinal import get_retinal_seg_metrics
+
+            pred_bi = (np.asarray(seg_pred[:, :, :, 0]) > cls_th).astype(np.int16)
+            gt_bi = (np.asarray(seg_t[:, :, :, 0]) > 0.5).astype(np.int16)
+            cls = get_retinal_seg_metrics(pred_bi, gt_bi)
+            acc_scores.extend(np.atleast_1d(cls["acc"]))
+            sens_scores.extend(np.atleast_1d(cls["sens"]))
+            spec_scores.extend(np.atleast_1d(cls["spec"]))
+
         if test_surface_distance:
             seg_bi = np.asarray(seg_pred[:, :, :, 0])[:, None] > thresholds[:, None, None]
             seg_bi = np.moveaxis(seg_bi, 0, 1) if seg_bi.shape[0] != 1 else seg_bi
@@ -141,6 +156,12 @@ def inference_for_ss(
         "IoU_max": float(per_th.max()),
         "IoU_max_threshold": float(thresholds[int(per_th.argmax())]),
     }
+    if acc_scores:
+        summary.update(
+            Acc=float(np.mean(acc_scores)),
+            Sens=float(np.mean(sens_scores)),
+            Spec=float(np.mean(spec_scores)),
+        )
     if hd_rows:
         ahd = np.stack(hd_rows)
         amsd = np.stack(msd_rows)

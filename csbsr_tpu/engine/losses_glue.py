@@ -26,7 +26,9 @@ from ..losses import (
     l2_per_sample,
     kbpn_loss,
     segment_failure_oriented_exp_weight,
+    segment_failure_oriented_weight,
     crack_oriented_exp_weight,
+    crack_oriented_weight,
     fa_loss as fa_loss_fn,
 )
 
@@ -78,7 +80,23 @@ def build_loss_fn(cfg) -> Callable:
     co_sr_amp = float(cfg.SOLVER.CRACK_ORIENTED_WEIGHT4SR_AMP)
     sfo_sr_amp = float(cfg.SOLVER.SEG_FAIL_ORIENTED_WEIGHT4SR_AMP)
     sfo_ss_amp = float(cfg.SOLVER.SEG_FAIL_ORIENTED_WEIGHT4SS_AMP)
+    co_sr_bias = float(cfg.SOLVER.CRACK_ORIENTED_WEIGHT4SR_BIAS)
+    sfo_sr_bias = float(cfg.SOLVER.SEG_FAIL_ORIENTED_WEIGHT4SR_BIAS)
+    sfo_ss_bias = float(cfg.SOLVER.SEG_FAIL_ORIENTED_WEIGHT4SS_BIAS)
+    w_variant = str(cfg.TPU.ORIENTED_WEIGHT_VARIANT)
+    w_gaus_sigma = float(cfg.SOLVER.ORIENTED_WEIGHT_GAUS)
+    w_gaus_size = int(cfg.BLUR.KERNEL_SIZE)
     w_iter = int(cfg.SOLVER.ORIENTED_WEIGHT_ITER)
+
+    def _co_weight(tgt):
+        if w_variant == "linear":
+            return crack_oriented_weight(tgt, co_sr_amp, co_sr_bias, w_gaus_size, w_gaus_sigma)
+        return crack_oriented_exp_weight(tgt, co_sr_amp)
+
+    def _sfo_weight(pred, tgt, amp, bias):
+        if w_variant == "linear":
+            return segment_failure_oriented_weight(pred, tgt, amp, bias, w_gaus_size, w_gaus_sigma)
+        return segment_failure_oriented_exp_weight(pred, tgt, amp)
     interm_ss4sr = bool(cfg.SOLVER.INTERM_SSLOSSWEGHT4SR)
     joint = bool(cfg.MODEL.JOINT_LEARNING)
     sr_none = cfg.MODEL.SCALE_FACTOR == 1 or cfg.MODEL.SR == "bicubic"
@@ -156,6 +174,9 @@ def build_loss_fn(cfg) -> Callable:
                 only_kernel_loss_in_window=only_kernel_flag,
                 segment_preds=seg_preds, segment_targets=seg_targets,
                 co_amp=co_sr_amp, sfo_amp=sfo_sr_amp, weight_iter=w_iter,
+                co_bias=co_sr_bias, sfo_bias=sfo_sr_bias,
+                weight_variant=w_variant, gaus_size=w_gaus_size,
+                gaus_sigma=w_gaus_sigma,
                 downscale_method=downscale_method,
             )
         else:
@@ -167,17 +188,14 @@ def build_loss_fn(cfg) -> Callable:
             if co_sr_amp != 0.0 or sfo_sr_amp != 0.0:
                 per_map = jnp.abs(outputs["sr"].astype(jnp.float32) - tgt)
                 if co_sr_amp != 0.0:
-                    per_map = crack_oriented_exp_weight(seg_targets, co_sr_amp) * per_map
+                    per_map = _co_weight(seg_targets) * per_map
                 if sfo_sr_amp != 0.0:
-                    per_map = (
-                        segment_failure_oriented_exp_weight(seg_preds, seg_targets, sfo_sr_amp)
-                        * per_map
-                    )
+                    per_map = _sfo_weight(seg_preds, seg_targets, sfo_sr_amp, sfo_sr_bias) * per_map
                 sr_loss = jnp.where(it >= w_iter, jnp.mean(per_map, axis=(1, 2, 3)), sr_loss)
 
         # ---- failure-oriented seg weight (build_model.py:433-434)
         if sfo_ss_amp != 0.0:
-            w = segment_failure_oriented_exp_weight(seg_preds, seg_targets, sfo_ss_amp)
+            w = _sfo_weight(seg_preds, seg_targets, sfo_ss_amp, sfo_ss_bias)
             seg_loss = jnp.mean(w * seg_loss, axis=(1, 2, 3)) if seg_per_pixel else seg_loss
         elif seg_per_pixel:
             seg_loss = jnp.mean(seg_loss, axis=(1, 2, 3))

@@ -82,7 +82,11 @@ def group_multipliers(phase: Dict, pc: PhaseConfig, *, blurskip_only: bool,
         # pretrain, 1st stage frozen after
         after = it >= pc.sr_pretrain[1]
         if sr_seg_inv:
-            pass  # inverse staging not exercised by shipped configs
+            # Reference parity: its inverse-staging branch is commented out
+            # (trainer.py:487-492,527-530), so a non-joint SR_SEG_INV config
+            # trains BOTH stages throughout. make_train_step logs an explicit
+            # warning so this is never a silent surprise.
+            pass
         else:
             m_seg = jnp.where(after, one, zero)
             m_sr = m_sr * jnp.where(after, zero, one)
@@ -154,6 +158,15 @@ def make_train_step(cfg, model, loss_fn, pc: PhaseConfig, group_ids):
         "PSPNet_BlurSkip", "PSPNet_BlurSkip_origin", "PSPNet_BlurSkipReduct"
     )
     sr_seg_inv = bool(cfg.MODEL.SR_SEG_INV)
+    if sr_seg_inv and not pc.joint_learning:
+        import warnings
+
+        warnings.warn(
+            "MODEL.SR_SEG_INV with JOINT_LEARNING=False: the reference's "
+            "inverse staged-freezing branch is disabled (trainer.py:487-492), "
+            "so BOTH stages train for the full run. Matching that behavior.",
+            stacklevel=2,
+        )
     group_id_leaves = jax.tree_util.tree_map(lambda g: jnp.asarray(g), group_ids)
 
     def train_step(state: TrainState, batch, rng):

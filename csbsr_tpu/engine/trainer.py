@@ -180,12 +180,21 @@ def do_train(
     sample = dict(first, lr=lr0, kernel=k0)
     state = create_train_state(cfg, model, rng, sample, pc)
 
-    # released/pretrained SR weights (build_model.py:96-110) when present
-    from ..utils.pretrained import load_pretrained_sr
+    # ImageNet backbones (construction-time downloads in the reference),
+    # then released/pretrained SR weights (build_model.py:96-110) on top
+    from ..utils.pretrained import (
+        load_imagenet_backbones,
+        load_pretrained_dsrl,
+        load_pretrained_sr,
+    )
 
+    new_params, new_stats = load_imagenet_backbones(cfg, state.params, state.batch_stats, log_fn)
+    state = state.replace(params=new_params, batch_stats=new_stats)
     if "sr_model" in state.params:
         new_params, new_stats = load_pretrained_sr(cfg, state.params, state.batch_stats, log_fn)
         state = state.replace(params=new_params, batch_stats=new_stats)
+    new_params, new_stats = load_pretrained_dsrl(cfg, state.params, state.batch_stats, log_fn)
+    state = state.replace(params=new_params, batch_stats=new_stats)
 
     if resume_iter:
         state = restore_checkpoint(cfg.OUTPUT_DIR, state, resume_iter)

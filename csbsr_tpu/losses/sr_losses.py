@@ -13,7 +13,12 @@ import jax.numpy as jnp
 
 from ..ops.blur import batch_blur
 from ..ops.resize import resize
-from .oriented import crack_oriented_exp_weight, segment_failure_oriented_exp_weight
+from .oriented import (
+    crack_oriented_exp_weight,
+    crack_oriented_weight,
+    segment_failure_oriented_exp_weight,
+    segment_failure_oriented_weight,
+)
 
 
 def l1_per_sample(pred, target):
@@ -55,7 +60,12 @@ def kbpn_loss(
     segment_targets=None,
     co_amp: float = 0.0,
     sfo_amp: float = 0.0,
+    co_bias: float = 1.0,
+    sfo_bias: float = 1.0,
     weight_iter: int = -1,
+    weight_variant: str = "exp",
+    gaus_size: int = 7,
+    gaus_sigma: float = 2.0,
     downscale_method: str = "bicubic",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """KBPNLoss (`sr_loss_functions.py:17-71`).
@@ -78,12 +88,21 @@ def kbpn_loss(
     if weight_iter != -1 and (co_amp != 0.0 or sfo_amp != 0.0):
         apply_w = iteration > weight_iter
         if co_amp != 0.0:
-            w_co = crack_oriented_exp_weight(segment_targets, co_amp)
+            if weight_variant == "linear":
+                w_co = crack_oriented_weight(segment_targets, co_amp, co_bias,
+                                             gaus_size, gaus_sigma)
+            else:
+                w_co = crack_oriented_exp_weight(segment_targets, co_amp)
             w_co_lr = resize(w_co, lr_map.shape[1:3], method="bilinear")
             hr_map = jnp.where(apply_w, w_co * hr_map, hr_map)
             lr_map = jnp.where(apply_w, w_co_lr * lr_map, lr_map)
         if sfo_amp != 0.0:
-            w_sfo = segment_failure_oriented_exp_weight(segment_preds, segment_targets, sfo_amp)
+            if weight_variant == "linear":
+                w_sfo = segment_failure_oriented_weight(
+                    segment_preds, segment_targets, sfo_amp, sfo_bias,
+                    gaus_size, gaus_sigma)
+            else:
+                w_sfo = segment_failure_oriented_exp_weight(segment_preds, segment_targets, sfo_amp)
             w_sfo_lr = resize(w_sfo, lr_map.shape[1:3], method="bilinear")
             hr_map = jnp.where(apply_w, w_sfo * hr_map, hr_map)
             lr_map = jnp.where(apply_w, w_sfo_lr * lr_map, lr_map)

@@ -46,14 +46,19 @@ class ConversionError(KeyError):
     pass
 
 
-def convert_tree(params, batch_stats, torch_sd: Dict[str, np.ndarray], translate):
+def convert_tree(params, batch_stats, torch_sd: Dict[str, np.ndarray], translate,
+                 partial: bool = False):
     """Fill a flax (params, batch_stats) pair from a torch state_dict.
 
     `translate(flat_path: tuple, kind: str) -> torch key` maps each flax leaf
     to its torch tensor name; kind in {kernel, bias, scale, mean, var, alpha}.
-    Raises ConversionError listing unmatched leaves.
+    Raises ConversionError listing unmatched leaves, unless `partial`, in
+    which case unmatched leaves keep their current values (backbone
+    injection: only the backbone subtree exists in an ImageNet checkpoint).
+    Returns (params, batch_stats[, n_filled when partial]).
     """
     missing = []
+    filled = [0]
 
     def fill(tree, stats: bool):
         flat = traverse_util.flatten_dict(tree)
@@ -87,10 +92,13 @@ def convert_tree(params, batch_stats, torch_sd: Dict[str, np.ndarray], translate
                 f"shape mismatch at {path}: torch {w.shape} vs flax {np.shape(leaf)}"
             )
             out[path] = w.astype(np.asarray(leaf).dtype)
+            filled[0] += 1
         return traverse_util.unflatten_dict(out)
 
     new_params = fill(params, stats=False)
     new_stats = fill(batch_stats, stats=True) if batch_stats else batch_stats
+    if partial:
+        return new_params, new_stats, filled[0]
     if missing:
         raise ConversionError(f"{len(missing)} unmatched leaves, e.g. {missing[:5]}")
     return new_params, new_stats

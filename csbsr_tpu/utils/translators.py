@@ -23,6 +23,9 @@ def _block_leaf(seg_kind: Tuple[str, str]) -> Optional[str]:
         return {"kernel": "layer.weight", "bias": "layer.bias"}[kind]
     if seg.startswith("PReLU"):
         return "act.weight"
+    if seg.startswith("BatchNorm"):
+        return {"scale": "norm.weight", "bias": "norm.bias",
+                "mean": "norm.running_mean", "var": "norm.running_var"}[kind]
     return None
 
 
@@ -198,6 +201,22 @@ def translate_pspnet(path: Tuple, kind: str) -> Optional[str]:
         sub = p[1]
         idx = {"conv0": 0, "bn": 1, "conv1": 4}[sub]
         return f"aux.{idx}.{suffix}"
+    m = re.match(r"blur_skip_sft(\d+)", head)
+    if m:
+        # PSPNet_BlurSkip ladder (pspnet.py:142-151): ModuleList alternating
+        # SFTLikeBlock (even slots) and ConvBlock (odd slots)
+        i = 2 * int(m.group(1))
+        mb = re.match(r"(conv_scale|conv_shift)(\d)", p[1])
+        if mb:
+            lf = _block_leaf((p[2], kind))
+            if lf:
+                return f"blur_skip.{i}.{mb.group(1)}.{mb.group(2)}.{lf}"
+        return None
+    m = re.match(r"blur_skip_conv(\d+)", head)
+    if m:
+        i = 2 * int(m.group(1)) + 1
+        lf = _block_leaf((p[1], kind))
+        return f"blur_skip.{i}.{lf}" if lf else None
     if head.startswith("prelu"):
         return None
     return None
@@ -492,3 +511,69 @@ def make_translate_dsrl(scale_factor: int = 4):
 
 
 translate_dsrl = make_translate_dsrl(4)
+
+
+# --------------------------------------------------------------------------
+# ImageNet-backbone translators: flax path -> torchvision / upstream-release
+# checkpoint key. These inject the published initialisations the reference
+# downloads at construction time (VGG16 `kbpn.py:42-44` + `unet.py:143-176`,
+# ResNet `extractors.py:14-34,158-163`, HRNet-W48
+# `H_48_D_4_composite.json:84`).
+# --------------------------------------------------------------------------
+
+
+def imagenet_vgg16_kbpn_feat(path: Tuple, kind: str) -> Optional[str]:
+    """KBPN 'feat' head <- torchvision vgg16: the reference drops the first
+    MaxPool (vgg[:4]+vgg[5:9], kbpn.py:42-44), so feat convs 0..3 come from
+    features indices 0, 2, 5, 7."""
+    p = [str(x) for x in path[:-1]]
+    if len(p) < 2 or p[0] != "feat":
+        return None
+    m = re.match(r"conv(\d)", p[1])
+    if not m:
+        return None
+    idx = (0, 2, 5, 7)[int(m.group(1))]
+    return f"features.{idx}.{'weight' if kind == 'kernel' else 'bias'}"
+
+
+_UNET16_VGG_FEATURE_IDX = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)
+
+
+def imagenet_vgg16_unet16(path: Tuple, kind: str) -> Optional[str]:
+    """UNet16 encoder <- torchvision vgg16.features (unet.py:143-176)."""
+    p = [str(x) for x in path[:-1]]
+    if not p:
+        return None
+    m = re.match(r"enc(\d+)", p[0])
+    if not m:
+        return None
+    idx = _UNET16_VGG_FEATURE_IDX[int(m.group(1))]
+    return f"features.{idx}.{'weight' if kind == 'kernel' else 'bias'}"
+
+
+def imagenet_resnet_pspnet(path: Tuple, kind: str) -> Optional[str]:
+    """PSPNet 'feats' extractor <- torchvision resnet34 (identical module
+    names minus the feats. prefix; extractors.py:112-163)."""
+    t = translate_pspnet(path, kind)
+    if t and t.startswith("feats."):
+        return t[len("feats."):]
+    return None
+
+
+def imagenet_hrnet_w48(path: Tuple, kind: str) -> Optional[str]:
+    """HRNet-W48 backbone <- hrnetv2_w48_imagenet_pretrained.pth (same
+    backbone names minus the backbone. prefix; the checkpoint's
+    classification head keys are simply unused)."""
+    t = translate_hrnet_ocr(path, kind)
+    if t and t.startswith("backbone."):
+        return t[len("backbone."):]
+    return None
+
+
+def imagenet_resnet_dsrl(path: Tuple, kind: str) -> Optional[str]:
+    """DSRL DeepLab backbone <- torchvision resnet101 (DSRL/backbone/resnet.py
+    mirrors torchvision names)."""
+    t = translate_dsrl(path, kind)
+    if t and t.startswith("backbone."):
+        return t[len("backbone."):]
+    return None

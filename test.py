@@ -3,7 +3,11 @@
 
 Rebuild of `/root/reference/test.py`: reconstructs the config from
 `<test_dir>/config.yaml`, resolves the checkpoint by iteration number or
-name, builds the inference model, runs the AIU/PSNR/SSIM/HD harness.
+name, builds the inference model, dispatches to the AIU/PSNR/SSIM/HD
+harness, the unlabeled TTI harness (`--tti_crack_dataset`,
+test.py:59-60,78-79), or the retinal path ('RetinalSeg' in TEST_IMAGE_DIR,
+test.py:61-64) with optional classification metrics
+(`--test_classification_metrics`, test.py:96).
 
 Usage:
   python test.py <test_dir> <iteration|weight_name> [--test_aiu] ...
@@ -23,7 +27,14 @@ def parse_args():
     p.add_argument("--test_aiu", action="store_true", default=True)
     p.add_argument("--no_test_aiu", dest="test_aiu", action="store_false")
     p.add_argument("--test_surface_distance", action="store_true")
-    p.add_argument("--sf_save_image", action="store_true")
+    p.add_argument("--test_classification_metrics", action="store_true")
+    # reference polarity (test.py:97): images are saved BY DEFAULT; passing
+    # the flag turns saving off.
+    p.add_argument(
+        "--sf_save_image", action="store_false", default=True,
+        help="If you do not want the output images to be saved, pass this flag.",
+    )
+    p.add_argument("--tti_crack_dataset", action="store_true")
     p.add_argument("--test_blured_name", type=str, default="")
     p.add_argument("opts", default=None, nargs=argparse.REMAINDER)
     return p.parse_args()
@@ -49,16 +60,23 @@ def main():
     else:
         ckpt_dir = os.path.join(args.test_dir, args.trained_iter)
         tag = args.trained_iter
-    output_dirname = args.output_dirname or os.path.join(
-        args.test_dir, "eval", cfg.DATASET.TEST_BLURED_NAME, tag
-    )
+    if args.tti_crack_dataset:
+        # reference test.py:140-143: dedicated output dir + 64x64 patches
+        output_dirname = args.output_dirname or os.path.join(
+            args.test_dir, "eval", "tti_building", f"{tag}_size64"
+        )
+        cfg.INPUT.IMAGE_SIZE = [64, 64]
+    else:
+        output_dirname = args.output_dirname or os.path.join(
+            args.test_dir, "eval", cfg.DATASET.TEST_BLURED_NAME, tag
+        )
     cfg.OUTPUT_DIR = output_dirname
     cfg.freeze()
 
     import jax
     import orbax.checkpoint as ocp
-    from csbsr_tpu.data import CrackDataSetTest
-    from csbsr_tpu.engine.inference import inference_for_ss
+    from csbsr_tpu.data import CrackDataSetTest, RetinalDataSetTest, TTICrackDataSetTest
+    from csbsr_tpu.engine.inference import inference_for_ss, inference_tti
     from csbsr_tpu.models import model_from_cfg
 
     model = model_from_cfg(cfg)
@@ -67,7 +85,16 @@ def main():
     restored = ckptr.restore(os.path.abspath(ckpt_dir))
     variables = {"params": restored["params"], "batch_stats": restored.get("batch_stats", {})}
 
-    dataset = CrackDataSetTest(
+    if args.tti_crack_dataset:
+        dataset = TTICrackDataSetTest(cfg, cfg.DATASET.TEST_IMAGE_DIR)
+        assert len(dataset) > 0, "Dataset size is 0!!"
+        inference_tti(cfg, model, variables, dataset, output_dir=output_dirname)
+        return
+
+    ds_cls = (
+        RetinalDataSetTest if "RetinalSeg" in cfg.DATASET.TEST_IMAGE_DIR else CrackDataSetTest
+    )
+    dataset = ds_cls(
         cfg,
         cfg.DATASET.TEST_IMAGE_DIR,
         cfg.DATASET.TEST_MASK_DIR,
@@ -81,6 +108,7 @@ def main():
         output_dir=output_dirname,
         test_aiu=args.test_aiu,
         test_surface_distance=args.test_surface_distance,
+        test_classification_metrics=args.test_classification_metrics,
         save_images=args.sf_save_image,
     )
     print(summary)

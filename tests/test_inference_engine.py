@@ -64,6 +64,85 @@ def test_inference_for_ss_end_to_end(fixture_dirs, tmp_path):
     assert os.path.isdir(os.path.join(out_dir, "images"))
 
 
+@pytest.fixture(scope="module")
+def retinal_fixture_dirs(tmp_path_factory):
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("RetinalSeg")
+    img_dir = root / "gt" / "images"
+    mask_dir = root / "gt" / "masks"
+    img_dir.mkdir(parents=True)
+    mask_dir.mkdir(parents=True)
+    rng = np.random.RandomState(17)
+    for i in range(2):
+        Image.fromarray((rng.rand(64, 64, 3) * 255).astype(np.uint8)).save(img_dir / f"r{i}.png")
+        # retinal masks are 0/1 valued on disk (the dataset scales them x255)
+        Image.fromarray((rng.rand(64, 64) > 0.8).astype(np.uint8), "L").save(
+            mask_dir / f"r{i}.png"
+        )
+    from csbsr_tpu.data.make_test_blur import make_test_blur_dir
+
+    blur_root = root / "test_blured" / "02_40"
+    n = make_test_blur_dir(str(img_dir), str(blur_root), pattern="*.png", kernel_size=7)
+    assert n == 2
+    return str(img_dir), str(mask_dir), str(root / "test_blured")
+
+
+def test_retinal_inference_with_classification_metrics(retinal_fixture_dirs, tmp_path):
+    img_dir, mask_dir, blur_dir = retinal_fixture_dirs
+    cfg = tiny_cfg(**{
+        "INPUT.IMAGE_SIZE": [32, 32],
+        "BLUR.KERNEL_SIZE_OUTPUT": 7,
+        "DATASET.TEST_IMAGE_DIR": img_dir,
+        "DATASET.TEST_MASK_DIR": mask_dir,
+        "DATASET.TEST_BLURED_DIR": blur_dir,
+    })
+    from csbsr_tpu.data import RetinalDataSetTest
+    from csbsr_tpu.engine.inference import inference_for_ss
+    from csbsr_tpu.models import model_from_cfg
+
+    model = model_from_cfg(cfg)
+    patches0 = jnp.zeros((4, 8, 8, 3))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, patches0, None, False, train=False
+    )
+    ds = RetinalDataSetTest(cfg, img_dir, mask_dir, blur_dir, "02_40")
+    assert len(ds) == 2
+    # dataset masks are binary after the x255 scaling + /255 transform
+    _, _, seg_t, _, _, _, _ = ds.get(0)
+    assert set(np.unique(seg_t)) <= {0.0, 1.0}
+    summary = inference_for_ss(
+        cfg, model, variables, ds, output_dir=str(tmp_path / "eval"),
+        test_aiu=False, test_classification_metrics=True, save_images=False,
+        log_fn=lambda *a: None,
+    )
+    for key in ("Acc", "Sens", "Spec"):
+        assert key in summary and 0.0 <= summary[key] <= 1.0, (key, summary)
+
+
+def test_tti_inference_end_to_end(retinal_fixture_dirs, tmp_path):
+    img_dir, _, _ = retinal_fixture_dirs
+    cfg = tiny_cfg(**{
+        "INPUT.IMAGE_SIZE": [8, 8],  # TTI patches the *input* at IMAGE_SIZE
+        "BLUR.KERNEL_SIZE_OUTPUT": 7,
+        "DATASET.TEST_IMAGE_DIR": img_dir,
+    })
+    from csbsr_tpu.data import TTICrackDataSetTest
+    from csbsr_tpu.engine.inference import inference_tti
+    from csbsr_tpu.models import model_from_cfg
+
+    model = model_from_cfg(cfg)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((4, 8, 8, 3)), None, False, train=False
+    )
+    ds = TTICrackDataSetTest(cfg, img_dir)
+    assert len(ds) == 2
+    out_dir = str(tmp_path / "tti")
+    inference_tti(cfg, model, variables, ds, output_dir=out_dir, log_fn=lambda *a: None)
+    assert os.path.isdir(os.path.join(out_dir, "images"))
+    assert os.path.isdir(os.path.join(out_dir, "masks", "th_0.50"))
+
+
 def test_chop_forward_matches_direct(rng):
     from csbsr_tpu.utils.misc import chop_forward
     from csbsr_tpu.ops.resize import resize

@@ -27,6 +27,8 @@ def parse_args():
     p.add_argument("--save_step", type=int, default=2000)
     p.add_argument("--eval_step", type=int, default=2000)
     p.add_argument("--resume_iter", type=int, default=0)
+    p.add_argument("--max_eval_batches", type=int, default=0,
+                   help="cap eval batches (0 = full eval split, reference behavior)")
     p.add_argument("--debug", action="store_true")
     p.add_argument("--synthetic", action="store_true", help="force synthetic data")
     p.add_argument("opts", default=None, nargs=argparse.REMAINDER)
@@ -84,21 +86,28 @@ def main():
     from csbsr_tpu.engine import do_train, make_degrade_fn
     from csbsr_tpu.models import model_from_cfg
 
+    from csbsr_tpu.data import SubsetView
+
     dataset = build_datasets(cfg, args)
+    # seeded random 95/5 split (reference random_split, train.py:52-57) so
+    # eval samples never leak into the train stream
     n_train = int(len(dataset) * cfg.SOLVER.TRAIN_DATASET_RATIO)
+    perm = np.random.RandomState(cfg.SEED).permutation(len(dataset))
+    train_ds = SubsetView(dataset, perm[:n_train])
+    eval_idx = perm[n_train:]
     train_loader = IterationBasedLoader(
-        dataset, cfg.SOLVER.BATCH_SIZE, cfg.SOLVER.MAX_ITER - args.resume_iter,
+        train_ds, cfg.SOLVER.BATCH_SIZE, cfg.SOLVER.MAX_ITER - args.resume_iter,
         seed=cfg.SEED, start_iter=args.resume_iter, num_workers=args.num_workers,
     )
 
-    # small deterministic eval split (the reference random_splits 95/5,
-    # train.py:52-57); we take the tail indices with fixed degradation
+    # eval batches: the full eval split with fixed degradation
     degrade = jax.jit(make_degrade_fn(cfg))
     eval_batches = []
     rng = np.random.RandomState(cfg.SEED)
-    eval_idx = list(range(n_train, min(len(dataset), n_train + 2 * cfg.SOLVER.BATCH_SIZE)))
+    if args.max_eval_batches:
+        eval_idx = eval_idx[: args.max_eval_batches * cfg.SOLVER.BATCH_SIZE]
     for s in range(0, len(eval_idx) - cfg.SOLVER.BATCH_SIZE + 1, cfg.SOLVER.BATCH_SIZE):
-        samples = [dataset.get(i, rng) for i in eval_idx[s : s + cfg.SOLVER.BATCH_SIZE]]
+        samples = [dataset.get(int(i), rng) for i in eval_idx[s : s + cfg.SOLVER.BATCH_SIZE]]
         hr = jnp.asarray(np.stack([x[0] for x in samples]))
         seg = jnp.asarray(np.stack([x[1] for x in samples]))
         lr, k = degrade(hr, jax.random.PRNGKey(cfg.SEED + s))
