@@ -74,6 +74,38 @@ def main():
         return batch * n_iters / dt
 
     imgs_per_sec = max(measure(b) for b in (32, 64, 128))
+
+    def measure_train(batch: int = 32) -> float:
+        """Full train step (on-device degradation + fwd + bwd + optimizer),
+        bf16 compute + remat, chained through the state dependency."""
+        tcfg = _flagship_cfg()
+        tcfg.TPU.REMAT = True
+        from csbsr_tpu.engine import build_train_step, make_degrade_fn, phase_config_from_cfg
+        from csbsr_tpu.engine.train_state import create_train_state, grad_group_ids
+
+        tmodel = model_from_cfg(tcfg)
+        key = jax.random.PRNGKey(0)
+        hr = jnp.asarray(rng.rand(batch, 224, 224, 3).astype(np.float32))
+        seg = jnp.asarray((rng.rand(batch, 224, 224, 1) > 0.9).astype(np.float32))
+        lr, k = jax.jit(make_degrade_fn(tcfg))(hr, key)
+        batch_d = {"hr": hr, "seg": seg, "lr": lr, "kernel": k}
+        pc = phase_config_from_cfg(tcfg, 1000)
+        state = create_train_state(tcfg, tmodel, key, batch_d, pc)
+        gids = grad_group_ids(state.params)
+        step = jax.jit(build_train_step(tcfg, tmodel, pc, gids), donate_argnums=(0,))
+
+        train_batch = {"hr": hr, "seg": seg}
+        state, m = step(state, train_batch, key)  # compile + warm
+        float(m["loss"])
+        n_iters = 10
+        t0 = time.perf_counter()
+        for i in range(n_iters):
+            state, m = step(state, train_batch, jax.random.fold_in(key, i))
+        float(m["loss"])  # host sync through the chained state
+        dt = time.perf_counter() - t0
+        return batch * n_iters / dt
+
+    train_img_s = measure_train()
     print(
         json.dumps(
             {
@@ -81,6 +113,8 @@ def main():
                 "value": round(imgs_per_sec, 3),
                 "unit": "images/sec/chip (224x224 outputs)",
                 "vs_baseline": round(imgs_per_sec / PYTORCH_GPU_CLASS_BASELINE_IMG_S, 3),
+                "train_images_per_sec": round(train_img_s, 3),
+                "train_batch": 32,
             }
         )
     )

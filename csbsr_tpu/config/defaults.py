@@ -124,6 +124,10 @@ _C.TPU.DEGRADE_ON_DEVICE = True  # fuse blur+downsample into the train step
 # "linear" (its commented-out Gaussian-conv alternatives,
 # oriented_weight.py:36-44,61-70 / sr_loss_functions.py:35-38)
 _C.TPU.ORIENTED_WEIGHT_VARIANT = "exp"
+# DSRL DeepLab backbone: 'resnet' (ResNet101-OS16, the reference default and
+# the released checkpoint) or 'drn' (DRN-D-54; deeplab.py:29-33 code-level
+# option)
+_C.TPU.DSRL_BACKBONE = "resnet"
 
 
 def get_cfg_defaults() -> CN:

@@ -25,6 +25,15 @@ from ..ops.s2d import s2d_conv, s2d_deconv, can_s2d_conv, can_s2d_deconv
 
 Dtype = Any
 
+# The space-to-depth lowering (ops/s2d.py) was a round-1 win, but the current
+# libtpu compiles the native strided k8s4 (de)convs 2-4x FASTER than the
+# hand lowering (measured: deconv 134 vs 65 TF/s, conv 120 vs 32 TF/s at
+# B=128 - see PERF.md). Default to native; CSBSR_USE_S2D=1 re-enables the
+# lowering for A/B (both paths share identical param layouts).
+import os as _os
+
+USE_S2D = _os.environ.get("CSBSR_USE_S2D", "0") == "1"
+
 
 class _S2DConv(nn.Module):
     """nn.Conv-compatible params; computes via the space-to-depth lowering."""
@@ -171,7 +180,8 @@ class ConvBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         init = _init_for_activation(self.activation)
         use_s2d = (
-            self.groups == 1
+            USE_S2D
+            and self.groups == 1
             and self.dilation == 1
             and can_s2d_conv(self.kernel_size, self.stride, self.padding)
             and (x.shape[1] + 2 * self.padding) % self.stride == 0
@@ -220,7 +230,7 @@ class DeconvBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         k, p = self.kernel_size, self.padding
         init = _init_for_activation(self.activation)
-        if can_s2d_deconv(k, self.stride, p):
+        if USE_S2D and can_s2d_deconv(k, self.stride, p):
             x = _S2DDeconv(
                 self.features, k, self.stride, p, self.use_bias, init,
                 self.dtype, name="deconv",

@@ -66,6 +66,7 @@ class CSBSRModel(nn.Module):
     input_std: tuple = (0.1621, 0.1532, 0.1523)
     sr_seg_inv: bool = False
     dsrl_upsample: str = "bilinear"  # 'deconv' => DeepLabx4 native chain
+    dsrl_backbone: str = "resnet"  # 'resnet' | 'drn' (DRN-D-54)
     sr_only: bool = False  # SR pretraining (SRModelWithLoss, build_model.py:535-562)
     remat: bool = False
     dtype: Any = jnp.float32
@@ -175,6 +176,7 @@ class CSBSRModel(nn.Module):
             sf = 4 if self.dsrl_upsample == "deconv" else 2
             seg, sr, fea_seg, fea_sr = DSRL(
                 num_classes=self.num_classes, scale_factor=sf,
+                backbone=self.dsrl_backbone,
                 dtype=self.dtype, name="parallel_model",
             )(x, train)
             if self.dsrl_upsample != "deconv":
@@ -233,6 +235,7 @@ def model_from_cfg(cfg, dtype=None) -> CSBSRModel:
         input_std=tuple(cfg.INPUT.STD),
         sr_seg_inv=cfg.MODEL.SR_SEG_INV,
         dsrl_upsample=cfg.MODEL.DSRL_UPSAMPLE,
+        dsrl_backbone=cfg.TPU.DSRL_BACKBONE,
         sr_only=bool(cfg.DATASET.ONLY_IMAGES),
         remat=bool(cfg.TPU.REMAT),
         dtype=dtype,

@@ -78,15 +78,65 @@ class ResNet101OS16(nn.Module):
         return x, low
 
 
-class ASPP(nn.Module):
-    """aspp.py:34-95 (os16: rates 1,6,12,18 + image pooling)."""
+class DRND54(nn.Module):
+    """DRN-D-54 backbone (`DSRL/backbone/drn.py:102-235,377-384`):
+    arch 'D', Bottleneck layers [1,1,3,4,6,3,1,1], channels
+    (16,32,64,128,256,512,512,512); layers 5/6 dilated (2,4), layers 7/8 are
+    plain dilated conv stacks. Output stride 8; low-level feature is the
+    layer3 output (256ch @ /4) per `deeplab.py:33` + `drn.py:214-217`."""
 
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train=False):
+        def conv_layer(x, ch, convs, stride, dilation, name):
+            # _make_conv_layers (drn.py:196-206): [conv3x3, BN, relu] * convs
+            for i in range(convs):
+                s = stride if i == 0 else 1
+                x = nn.Conv(ch, (3, 3), strides=(s, s),
+                            padding=[(dilation, dilation)] * 2,
+                            kernel_dilation=(dilation, dilation), use_bias=False,
+                            dtype=self.dtype, name=f"{name}_conv{i}")(x)
+                x = nn.relu(_bn(train, self.dtype, f"{name}_bn{i}")(x))
+            return x
+
+        def bottleneck_layer(x, planes, blocks, stride, dil_pair, name):
+            # _make_layer (drn.py:172-194): per-block (first, rest) dilations
+            for b in range(blocks):
+                s = stride if b == 0 else 1
+                d = dil_pair[0] if b == 0 else dil_pair[1]
+                use_ds = b == 0 and (s != 1 or x.shape[-1] != planes * 4)
+                x = _Bottleneck(planes, s, d, use_ds, dtype=self.dtype,
+                                name=f"{name}_{b}")(x, train)
+            return x
+
+        x = nn.Conv(16, (7, 7), padding=[(3, 3)] * 2, use_bias=False,
+                    dtype=self.dtype, name="layer0_conv")(x)
+        x = nn.relu(_bn(train, self.dtype, "layer0_bn")(x))
+        x = conv_layer(x, 16, 1, 1, 1, "layer1")
+        x = conv_layer(x, 32, 1, 2, 1, "layer2")
+        x = bottleneck_layer(x, 64, 3, 2, (1, 1), "layer3")
+        low = x  # 256ch @ /4
+        x = bottleneck_layer(x, 128, 4, 2, (1, 1), "layer4")
+        x = bottleneck_layer(x, 256, 6, 1, (2, 2), "layer5")
+        x = bottleneck_layer(x, 512, 3, 1, (4, 4), "layer6")
+        x = conv_layer(x, 512, 1, 1, 2, "layer7")
+        x = conv_layer(x, 512, 1, 1, 1, "layer8")
+        return x, low
+
+
+class ASPP(nn.Module):
+    """aspp.py:34-95 (os16: rates 1,6,12,18; os8/drn: 1,12,24,36; + image
+    pooling)."""
+
+    output_stride: int = 16
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
         outs = []
-        for i, (k, d) in enumerate([(1, 1), (3, 6), (3, 12), (3, 18)]):
+        rates = (6, 12, 18) if self.output_stride == 16 else (12, 24, 36)
+        for i, (k, d) in enumerate([(1, 1)] + [(3, r) for r in rates]):
             p = (k // 2) * d
             a = nn.Conv(256, (k, k), padding=[(p, p)] * 2, kernel_dilation=(d, d),
                         use_bias=False, dtype=self.dtype, name=f"aspp{i+1}_conv")(x)
@@ -151,12 +201,19 @@ class DSRL(nn.Module):
 
     num_classes: int = 1
     scale_factor: int = 4
+    backbone: str = "resnet"  # 'resnet' (ResNet101-OS16) | 'drn' (DRN-D-54, OS8)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, ...]:
-        feats, low = ResNet101OS16(dtype=self.dtype, name="backbone")(x, train)
-        a = ASPP(dtype=self.dtype, name="aspp")(feats, train)
+        if self.backbone == "drn":
+            # deeplab.py:29-33: drn forces output_stride 8
+            feats, low = DRND54(dtype=self.dtype, name="backbone")(x, train)
+            os = 8
+        else:
+            feats, low = ResNet101OS16(dtype=self.dtype, name="backbone")(x, train)
+            os = 16
+        a = ASPP(output_stride=os, dtype=self.dtype, name="aspp")(feats, train)
         seg = _Decoder(self.num_classes, 256, True, dtype=self.dtype, name="decoder")(a, low, train)
         sr = _Decoder(64, 128, False, dtype=self.dtype, name="sr_decoder")(a, low, train)
 

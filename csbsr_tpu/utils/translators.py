@@ -456,6 +456,18 @@ def make_translate_dsrl(scale_factor: int = 4):
             sub = p[1]
             if sub in ("conv1", "bn1"):
                 return f"backbone.{sub}.{sfx}"
+            # DRN-D-54 (drn.py): layer0 Sequential(conv, BN, relu); conv-stack
+            # layers i -> Sequential indices 3i (conv) / 3i+1 (BN)
+            if sub == "layer0_conv":
+                return f"backbone.layer0.0.{sfx}"
+            if sub == "layer0_bn":
+                return f"backbone.layer0.1.{sfx}"
+            m = re.match(r"layer(\d)_conv(\d)", sub)
+            if m:
+                return f"backbone.layer{m.group(1)}.{3 * int(m.group(2))}.{sfx}"
+            m = re.match(r"layer(\d)_bn(\d)", sub)
+            if m:
+                return f"backbone.layer{m.group(1)}.{3 * int(m.group(2)) + 1}.{sfx}"
             m = re.match(r"layer(\d)_(\d+)", sub)
             if m:
                 lay, b = m.groups()

@@ -115,6 +115,32 @@ def test_dsrl_translator_full_coverage():
                translators.translate_dsrl)
 
 
+def test_dsrl_drn_translator_full_coverage():
+    from csbsr_tpu.models.dsrl import DSRL
+
+    m = DSRL(num_classes=1, scale_factor=4, backbone="drn")
+    variables = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    _roundtrip(variables["params"], variables.get("batch_stats", {}),
+               translators.translate_dsrl)
+    # drn name spot checks (drn.py Sequential indices)
+    t = translators.translate_dsrl
+    assert t(("backbone", "layer0_conv", "kernel"), "kernel") == "backbone.layer0.0.weight"
+    assert t(("backbone", "layer7_bn0", "scale"), "scale") == "backbone.layer7.1.weight"
+    assert t(("backbone", "layer5_2", "conv2", "kernel"), "kernel") == "backbone.layer5.2.conv2.weight"
+
+
+def test_dsrl_drn_forward_shapes(rng):
+    from csbsr_tpu.models.dsrl import DSRL
+
+    m = DSRL(num_classes=1, scale_factor=4, backbone="drn")
+    x = jnp.asarray(rng.rand(1, 32, 32, 3).astype(np.float32))
+    variables = m.init(jax.random.PRNGKey(0), x)
+    seg, sr, fea_seg, fea_sr = m.apply(variables, x)
+    assert seg.shape == (1, 128, 128, 1)
+    assert sr.shape == (1, 128, 128, 3)
+    assert np.isfinite(np.asarray(sr)).all()
+
+
 def test_dsrl_x2_offset():
     t = translators.make_translate_dsrl(2)
     assert t(("up_sr_0", "kernel"), "kernel") == "up_sr_1.weight"
