@@ -38,6 +38,8 @@ def parse_args():
 def build_datasets(cfg, args):
     from csbsr_tpu.data import (
         CrackDataSet,
+        MassRoadDataset,
+        RetinalDataSet,
         SRPretrainDataSet,
         SyntheticCrackDataSet,
         TrainTransforms,
@@ -45,8 +47,17 @@ def build_datasets(cfg, args):
 
     transforms = TrainTransforms(cfg)
     if not args.synthetic and os.path.isdir(cfg.DATASET.TRAIN_IMAGE_DIR):
+        # domain dispatch (reference train.py:44-49 + ms_road analog)
         if cfg.DATASET.ONLY_IMAGES:
             ds = SRPretrainDataSet(cfg, cfg.DATASET.TRAIN_IMAGE_DIR, transforms)
+        elif "RetinalSeg" in cfg.DATASET.TRAIN_IMAGE_DIR:
+            ds = RetinalDataSet(
+                cfg, cfg.DATASET.TRAIN_IMAGE_DIR, cfg.DATASET.TRAIN_MASK_DIR, transforms
+            )
+        elif "road" in cfg.DATASET.TRAIN_IMAGE_DIR.lower():
+            ds = MassRoadDataset(
+                cfg, cfg.DATASET.TRAIN_IMAGE_DIR, cfg.DATASET.TRAIN_MASK_DIR, transforms
+            )
         else:
             ds = CrackDataSet(
                 cfg, cfg.DATASET.TRAIN_IMAGE_DIR, cfg.DATASET.TRAIN_MASK_DIR, transforms
@@ -92,6 +103,8 @@ def main():
     # seeded random 95/5 split (reference random_split, train.py:52-57) so
     # eval samples never leak into the train stream
     n_train = int(len(dataset) * cfg.SOLVER.TRAIN_DATASET_RATIO)
+    if "RetinalSeg" in cfg.DATASET.TRAIN_IMAGE_DIR:
+        n_train = min(12, len(dataset))  # reference train.py:54-55 hardcodes 12/3
     perm = np.random.RandomState(cfg.SEED).permutation(len(dataset))
     train_ds = SubsetView(dataset, perm[:n_train])
     eval_idx = perm[n_train:]
