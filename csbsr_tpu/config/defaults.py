@@ -119,6 +119,7 @@ _C.TPU.MESH_AXES = ["data"]
 _C.TPU.COMPUTE_DTYPE = "bfloat16"  # conv/matmul compute dtype
 _C.TPU.PARAM_DTYPE = "float32"
 _C.TPU.REMAT = False  # jax.checkpoint the SR stages
+_C.TPU.REMAT_SCOPE = "full"  # 'full' | 'updown' (keep KBlock activations)
 _C.TPU.DEGRADE_ON_DEVICE = True  # fuse blur+downsample into the train step
 # oriented-weight variant: "exp" (the reference's active classes) or
 # "linear" (its commented-out Gaussian-conv alternatives,

@@ -69,6 +69,7 @@ class CSBSRModel(nn.Module):
     dsrl_backbone: str = "resnet"  # 'resnet' | 'drn' (DRN-D-54)
     sr_only: bool = False  # SR pretraining (SRModelWithLoss, build_model.py:535-562)
     remat: bool = False
+    remat_scope: str = "full"  # 'full' | 'updown' (KBPN selective remat)
     dtype: Any = jnp.float32
 
     def _build_sr(self):
@@ -85,6 +86,7 @@ class CSBSRModel(nn.Module):
                 sum_lr_error_pos=self.sum_lr_error_pos,
                 zero_pad_kernel=self.zero_pad_kernel,
                 remat=self.remat,
+                remat_scope=self.remat_scope,
                 dtype=self.dtype, name="sr_model",
             )
         if self.sr == "DBPN":
@@ -238,5 +240,6 @@ def model_from_cfg(cfg, dtype=None) -> CSBSRModel:
         dsrl_backbone=cfg.TPU.DSRL_BACKBONE,
         sr_only=bool(cfg.DATASET.ONLY_IMAGES),
         remat=bool(cfg.TPU.REMAT),
+        remat_scope=str(cfg.TPU.REMAT_SCOPE),
         dtype=dtype,
     )

@@ -448,7 +448,10 @@ class KBPN(nn.Module):
     pixel_shuffle: bool = False
     sum_lr_error_pos: str = "HR"
     zero_pad_kernel: bool = False
-    remat: bool = False  # jax.checkpoint each back-projection block
+    remat: bool = False  # jax.checkpoint back-projection blocks
+    # 'full': remat Up/Down/KB (min memory); 'updown': remat only the wide
+    # Up/Down chains and keep KBlock activations (less recompute)
+    remat_scope: str = "full"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -463,7 +466,8 @@ class KBPN(nn.Module):
         use_gt_kernel = jnp.asarray(use_gt_kernel)
         UpCls = nn.remat(KBPNUpBlock, static_argnums=(2,)) if self.remat else KBPNUpBlock
         DownCls = nn.remat(KBPNDownBlock, static_argnums=(2,)) if self.remat else KBPNDownBlock
-        KBCls = nn.remat(KBlock, static_argnums=(6,)) if self.remat else KBlock
+        remat_kb = self.remat and self.remat_scope == "full"
+        KBCls = nn.remat(KBlock, static_argnums=(6,)) if remat_kb else KBlock
 
         init_f = VGGFeat(dtype=self.dtype, name="feat")(x)
 

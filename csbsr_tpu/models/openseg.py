@@ -510,10 +510,103 @@ class CE2POCRNet(_ResNetNet):
         return up(seg_out1), up(edge_out), up(seg_dsn), up(seg_out2)
 
 
-class IdealSpatialOCRNet(_ResNetNet):
-    """nets/ideal_ocrnet.py:19-67: SpatialOCRNet with ground-truth context -
-    the proxies are gathered from the one-hot GT label (a research probe).
-    __call__(x, label) where label: (B, H, W) int or (B, H, W, K) one-hot."""
+def _label_to_feature_grid(label, num_classes, fh, fw):
+    """One-hot the GT and nearest-downsample it to the feature grid
+    (F.interpolate mode='nearest' of the label map)."""
+    if label.ndim == 3:
+        label = jax.nn.one_hot(label, num_classes)
+    ys = jnp.arange(fh) * label.shape[1] // fh
+    xs = jnp.arange(fw) * label.shape[2] // fw
+    return label[:, ys][:, :, xs]  # (B, fh, fw, K)
+
+
+def _gt_gather(f, onehot_ds):
+    """SpatialGather_Module(use_gt=True): L1-normalised hard assignment
+    (spatial_ocr_block.py label branch). f: (B,H,W,C) -> (B,K,C)."""
+    b, h, w, c = f.shape
+    k = onehot_ds.shape[-1]
+    p = onehot_ds.reshape(b, h * w, k).astype(f.dtype)
+    p = jnp.moveaxis(p, -1, 1)  # (b, k, hw)
+    p = p / jnp.maximum(jnp.sum(jnp.abs(p), axis=2, keepdims=True), 1e-12)
+    return jnp.einsum("bkn,bnc->bkc", p, f.reshape(b, h * w, c))
+
+
+class ObjectAttentionGT(nn.Module):
+    """ObjectAttentionBlock2D(use_gt=True[, use_bg]): the similarity map is
+    the L1-normalised one-hot label (and its complement for the background
+    context) instead of learned query-key attention; value/f_up transforms
+    stay learned (spatial_ocr_block.py use_gt branch)."""
+
+    key_channels: int
+    use_bg: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, proxy, onehot_ds, train=False):
+        b, h, w, c = x.shape
+        kc = self.key_channels
+
+        def conv_bn_relu(v, ch, name, twice=False):
+            v = nn.Conv(ch, (1, 1), dtype=self.dtype, name=f"{name}_conv0")(v)
+            v = nn.relu(_bn(train, self.dtype, f"{name}_bn0")(v))
+            if twice:
+                v = nn.Conv(ch, (1, 1), dtype=self.dtype, name=f"{name}_conv1")(v)
+                v = nn.relu(_bn(train, self.dtype, f"{name}_bn1")(v))
+            return v
+
+        value = conv_bn_relu(proxy[:, None], kc, "f_down")[:, 0]  # (b, k, kc)
+        # f_up is shared between the object and background contexts, so its
+        # submodules are created once and applied twice
+        f_up_conv = nn.Conv(c, (1, 1), dtype=self.dtype, name="f_up_conv0")
+        f_up_bn = _bn(train, self.dtype, "f_up_bn0")
+        f_up = lambda v: nn.relu(f_up_bn(f_up_conv(v)))
+
+        sim = onehot_ds.reshape(b, h * w, -1).astype(x.dtype)
+        simn = sim / jnp.maximum(jnp.sum(jnp.abs(sim), axis=-1, keepdims=True), 1e-12)
+        ctx = jnp.einsum("bnk,bkc->bnc", simn, value).reshape(b, h, w, kc)
+        ctx = f_up(ctx)
+        if not self.use_bg:
+            return ctx, None
+        bg = 1.0 - sim
+        bgn = bg / jnp.maximum(jnp.sum(jnp.abs(bg), axis=-1, keepdims=True), 1e-12)
+        bg_ctx = jnp.einsum("bnk,bkc->bnc", bgn, value).reshape(b, h, w, kc)
+        bg_ctx = f_up(bg_ctx)
+        return ctx, bg_ctx
+
+
+class SpatialOCRGT(nn.Module):
+    """SpatialOCR_Module(use_gt=True[, use_bg, use_oc]) concat-project."""
+
+    key_channels: int
+    out_channels: int
+    use_bg: bool = False
+    use_oc: bool = True
+    dropout: float = 0.05
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, proxy, onehot_ds, train=False):
+        ctx, bg_ctx = ObjectAttentionGT(self.key_channels, self.use_bg,
+                                        dtype=self.dtype, name="oab")(
+            feats, proxy, onehot_ds, train)
+        if self.use_bg:
+            parts = ([ctx, bg_ctx, feats] if self.use_oc else [bg_ctx, feats])
+        else:
+            parts = [ctx, feats]
+        out = jnp.concatenate(parts, axis=-1)
+        out = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv")(out)
+        out = nn.relu(_bn(train, self.dtype, "bn")(out))
+        return nn.Dropout(self.dropout, deterministic=not train)(out)
+
+
+class _IdealOCRBase(_ResNetNet):
+    """Shared skeleton of the ideal_ocrnet.py research probes:
+    backbone -> dsn -> conv3x3 -> (gather, distribute) -> head."""
+
+    gt_gather: bool = True      # SpatialGather use_gt
+    gt_distribute: bool = True  # SpatialOCR use_gt
+    use_bg: bool = False
+    use_oc: bool = True
 
     @nn.compact
     def __call__(self, x, label, train: bool = False):
@@ -521,23 +614,48 @@ class IdealSpatialOCRNet(_ResNetNet):
         _, _, x3, x4 = self.backbone_feats(x, train)
         x_dsn = self.dsn(x3, train)
         f = _conv_bn_relu(x4, 512, 3, train, self.dtype, "conv_3x3", bias=True)
-        if label.ndim == 3:
-            label = jax.nn.one_hot(label, self.num_classes)
-        # nearest-neighbour downsample of the GT to the feature grid
-        lh, lw = f.shape[1:3]
-        ys = (jnp.arange(lh) * label.shape[1] // lh)
-        xs = (jnp.arange(lw) * label.shape[2] // lw)
-        label_ds = label[:, ys][:, :, xs]
-        # gather with the *label* as hard assignment (use_gt=True)
-        b, h, w, c = f.shape
-        k = label_ds.shape[-1]
-        p = label_ds.reshape(b, h * w, k)
-        p = p / jnp.maximum(jnp.sum(p, axis=1, keepdims=True), 1e-6)
-        ctx = jnp.einsum("bnk,bnc->bkc", p, f.reshape(b, h * w, c))
-        f = SpatialOCR(256, 512, dtype=self.dtype, name="spatial_ocr_head")(f, ctx, train)
+        onehot = _label_to_feature_grid(label, self.num_classes, *f.shape[1:3])
+        if self.gt_gather:
+            ctx = _gt_gather(f, onehot)
+        else:
+            ctx = SpatialGather()(f, x_dsn)
+        if self.gt_distribute:
+            f = SpatialOCRGT(256, 512, self.use_bg, self.use_oc, dtype=self.dtype,
+                             name="spatial_ocr_head")(f, ctx, onehot, train)
+        else:
+            f = SpatialOCR(256, 512, dtype=self.dtype, name="spatial_ocr_head")(f, ctx, train)
         out = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype, name="head")(f)
         up = lambda v: resize(v, hw, method="bilinear", align_corners=True)
         return up(x_dsn), up(out)
+
+
+class IdealSpatialOCRNet(_IdealOCRBase):
+    """ideal_ocrnet.py:19-67: GT gather + GT distribute."""
+
+
+class IdealSpatialOCRNetB(_IdealOCRBase):
+    """ideal_ocrnet.py:69-118: + GT background context."""
+
+    use_bg: bool = True
+
+
+class IdealSpatialOCRNetC(_IdealOCRBase):
+    """ideal_ocrnet.py:120-170: background context only (use_oc=False)."""
+
+    use_bg: bool = True
+    use_oc: bool = False
+
+
+class IdealGatherOCRNet(_IdealOCRBase):
+    """ideal_ocrnet.py:172-217: GT gather, learned distribute."""
+
+    gt_distribute: bool = False
+
+
+class IdealDistributeOCRNet(_IdealOCRBase):
+    """ideal_ocrnet.py:219-263: learned gather, GT distribute."""
+
+    gt_gather: bool = False
 
 
 class SegFixHRNet(nn.Module):

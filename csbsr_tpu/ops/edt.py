@@ -28,18 +28,20 @@ _BLOCK = 32
 
 
 def _scan_1d_distance(mask: jnp.ndarray) -> jnp.ndarray:
-    """Distance (in rows, axis -2) to nearest True. mask: (..., H, W) bool."""
+    """Distance (in rows, axis -2) to nearest True. mask: (..., H, W) bool.
+
+    Closed form instead of a sequential H-step scan:
+      f_i = min_{k<=i} (g0_k + i - k) = i + cummin_{k<=i}(g0_k - k)
+      b_i = min_{k>=i} (g0_k + k - i) = -i + revcummin_{k>=i}(g0_k + k)
+    — two vectorised lax.cummin passes (log-depth on device) in place of
+    2*H dependent loop iterations. Exact, same recurrence fixpoint.
+    """
     g0 = jnp.where(mask, 0.0, _BIG)  # (..., H, W)
-    xs = jnp.moveaxis(g0, -2, 0)  # (H, ..., W)
-
-    def fwd(carry, row):
-        d = jnp.minimum(row, carry + 1.0)
-        return d, d
-
-    init = jnp.full(xs.shape[1:], _BIG, xs.dtype)
-    _, f = jax.lax.scan(fwd, init, xs)
-    _, b = jax.lax.scan(fwd, init, xs, reverse=True)
-    return jnp.moveaxis(jnp.minimum(f, b), 0, -2)
+    h = g0.shape[-2]
+    idx = jnp.arange(h, dtype=g0.dtype).reshape((h, 1))
+    f = idx + jax.lax.cummin(g0 - idx, axis=g0.ndim - 2)
+    b = -idx + jax.lax.cummin(g0 + idx, axis=g0.ndim - 2, reverse=True)
+    return jnp.minimum(f, b)
 
 
 def _min_plus_rows(g: jnp.ndarray) -> jnp.ndarray:

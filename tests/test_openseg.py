@@ -60,12 +60,21 @@ def test_ce2p_ocrnet_outputs(x32):
     assert seg2.shape == (1, 32, 32, 1)
 
 
-def test_ideal_ocrnet_uses_gt(x32):
+def test_ideal_ocrnet_variants(x32):
+    from csbsr_tpu.models.openseg import (
+        IdealDistributeOCRNet,
+        IdealGatherOCRNet,
+        IdealSpatialOCRNetB,
+        IdealSpatialOCRNetC,
+    )
+
     label = jnp.asarray((np.random.RandomState(1).rand(1, 32, 32) > 0.7).astype(np.int32))
-    m = IdealSpatialOCRNet(num_classes=2)
-    v = m.init({"params": jax.random.PRNGKey(0)}, x32, label)
-    aux, out = m.apply(v, x32, label)
-    assert out.shape == (1, 32, 32, 2) and np.isfinite(np.asarray(out)).all()
+    for cls in (IdealSpatialOCRNet, IdealSpatialOCRNetB, IdealSpatialOCRNetC,
+                IdealGatherOCRNet, IdealDistributeOCRNet):
+        m = cls(num_classes=2)
+        v = m.init({"params": jax.random.PRNGKey(0)}, x32, label)
+        aux, out = m.apply(v, x32, label)
+        assert out.shape == (1, 32, 32, 2) and np.isfinite(np.asarray(out)).all(), cls
 
 
 def test_segfix_hrnet_heads(x32):
