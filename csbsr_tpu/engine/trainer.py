@@ -161,6 +161,8 @@ def do_train(
     num_train_ds: Optional[int] = None,
     mesh=None,
     debug: bool = False,
+    wandb_flag: bool = False,
+    wandb_project: str = "CSBSR-TPU",
     log_fn=print,
 ):
     """The hot loop (trainer.py:26-250)."""
@@ -169,7 +171,8 @@ def do_train(
 
     from ..utils.logging import MetricsLogger
 
-    mlog = MetricsLogger(cfg.OUTPUT_DIR, wandb_flag=False, config=dict(cfg))
+    mlog = MetricsLogger(cfg.OUTPUT_DIR, wandb_flag=wandb_flag,
+                         project=wandb_project, config=dict(cfg))
 
     # init from the first batch
     it_loader = iter(train_loader)

@@ -501,12 +501,21 @@ class KBPN(nn.Module):
             final = stage == self.num_stages
             h = mk_up(stage, f"stage{stage}_up")(low, train)
             pre_concat_h = h if concat_h is None else jnp.concatenate([concat_h, h], axis=-1)
-            h, kernel_vec = mk_kb(stage, f"stage{stage}_kb")(
+            kb_out = mk_kb(stage, f"stage{stage}_kb")(
                 pre_concat_h, h, x, kernel_vec, use_gt_kernel, train
             )
+            if self.sum_lr_error_pos == "LR":
+                # LR mode (kbpn.py:176-186): the back-projected error joins
+                # the LOW features after the DownBlock instead of h
+                h, error_feat, kernel_vec = kb_out
+            else:
+                h, kernel_vec = kb_out
+                error_feat = None
             concat_h = h if concat_h is None else jnp.concatenate([concat_h, h], axis=-1)
             if not final:
                 low = mk_down(f"stage{stage}_down")(concat_h, train)
+                if error_feat is not None:
+                    low = low + error_feat
                 concat_l = low if concat_l is None else jnp.concatenate([concat_l, low], axis=-1)
                 if self.kernel_sft:
                     low = SFTLayerKBPN(

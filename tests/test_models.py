@@ -71,3 +71,21 @@ def test_pspnet_blurskip_shapes():
     main, aux = _init_and_run(m, jnp.zeros((1, 64, 64, 3)), kv)
     assert main.shape == (1, 64, 64, 1)
     assert aux.shape == (1, 64, 64, 1)
+
+
+def test_kbpn_lr_error_mode():
+    """SUM_LR_ERROR_POS='LR' (kbpn.py:176-186,410-412): the back-projected
+    error joins the low-res features after each DownBlock."""
+    from csbsr_tpu.models.kbpn import KBPN
+
+    k = 7
+    m = KBPN(scale_factor=4, num_stages=2, estimate_ksize=k, ksize_output=k,
+             sum_lr_error_pos="LR")
+    x = jnp.zeros((1, 14, 14, 3))
+    kv = jnp.ones((1, k * k)) / (k * k)
+    variables = m.init({"params": jax.random.PRNGKey(0)}, x, kv, False, train=False)
+    sr, kernel = m.apply(variables, x, kv, False, train=False)
+    assert sr.shape == (1, 56, 56, 3)
+    assert kernel.shape == (1, k * k)
+    # the LR-mode error conv exists in the param tree (KBlock 'conv')
+    assert "conv" in variables["params"]["stage1_kb"]

@@ -31,6 +31,8 @@ def parse_args():
                    help="cap eval batches (0 = full eval split, reference behavior)")
     p.add_argument("--debug", action="store_true")
     p.add_argument("--synthetic", action="store_true", help="force synthetic data")
+    p.add_argument("--wandb_flag", action="store_true", help="enable wandb logging")
+    p.add_argument("--wandb_prj_name", type=str, default="CSBSR-TPU")
     p.add_argument("opts", default=None, nargs=argparse.REMAINDER)
     return p.parse_args()
 
@@ -132,6 +134,7 @@ def main():
         resume_iter=args.resume_iter, log_step=args.log_step,
         save_step=args.save_step, eval_step_every=args.eval_step,
         num_train_ds=n_train, debug=args.debug,
+        wandb_flag=args.wandb_flag, wandb_project=args.wandb_prj_name,
     )
 
 
