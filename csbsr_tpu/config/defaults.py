@@ -129,6 +129,9 @@ _C.TPU.ORIENTED_WEIGHT_VARIANT = "exp"
 # the released checkpoint) or 'drn' (DRN-D-54; deeplab.py:29-33 code-level
 # option)
 _C.TPU.DSRL_BACKBONE = "resnet"
+# PSPNet extractor backend (extractors.py zoo; the reference hardcodes
+# resnet34 in the CSBSR path): resnet18/34/50/101/152 | densenet | squeezenet
+_C.TPU.PSPNET_BACKEND = "resnet34"
 
 
 def get_cfg_defaults() -> CN:

@@ -67,6 +67,7 @@ class CSBSRModel(nn.Module):
     sr_seg_inv: bool = False
     dsrl_upsample: str = "bilinear"  # 'deconv' => DeepLabx4 native chain
     dsrl_backbone: str = "resnet"  # 'resnet' | 'drn' (DRN-D-54)
+    pspnet_backend: str = "resnet34"  # extractors.py zoo
     sr_only: bool = False  # SR pretraining (SRModelWithLoss, build_model.py:535-562)
     remat: bool = False
     remat_scope: str = "full"  # 'full' | 'updown' (KBPN selective remat)
@@ -102,8 +103,8 @@ class CSBSRModel(nn.Module):
                           up_sampling_method=self.up_sample_method,
                           dtype=self.dtype, name="segmentation_model")
         if self.detector == "PSPNet":
-            return PSPNet(n_classes=self.num_classes, dtype=self.dtype,
-                          name="segmentation_model")
+            return PSPNet(n_classes=self.num_classes, backend=self.pspnet_backend,
+                          dtype=self.dtype, name="segmentation_model")
         if self.detector in ("PSPNet_BlurSkip", "PSPNet_BlurSkip_origin"):
             return PSPNetBlurSkip(
                 n_classes=self.num_classes,
@@ -238,6 +239,7 @@ def model_from_cfg(cfg, dtype=None) -> CSBSRModel:
         sr_seg_inv=cfg.MODEL.SR_SEG_INV,
         dsrl_upsample=cfg.MODEL.DSRL_UPSAMPLE,
         dsrl_backbone=cfg.TPU.DSRL_BACKBONE,
+        pspnet_backend=cfg.TPU.PSPNET_BACKEND,
         sr_only=bool(cfg.DATASET.ONLY_IMAGES),
         remat=bool(cfg.TPU.REMAT),
         remat_scope=str(cfg.TPU.REMAT_SCOPE),

@@ -60,9 +60,46 @@ class BasicBlock(nn.Module):
         return nn.relu(out + res)
 
 
-class ResNet34Dilated(nn.Module):
-    """extractors.py:112-161 with layers (3,4,6,3); returns (layer4, layer3)."""
+class BottleneckPSP(nn.Module):
+    """extractors.py:73-110: 1x1 -> dilated 3x3 -> 1x1 (x4) bottleneck."""
 
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    use_downsample: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        bn = lambda name: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name=name,
+        )
+        d = self.dilation
+        out = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
+        out = nn.relu(bn("bn1")(out))
+        out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
+                      padding=[(d, d)] * 2, kernel_dilation=(d, d), use_bias=False,
+                      dtype=self.dtype, name="conv2")(out)
+        out = nn.relu(bn("bn2")(out))
+        out = nn.Conv(self.planes * 4, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(out)
+        out = bn("bn3")(out)
+        if self.use_downsample:
+            res = nn.Conv(self.planes * 4, (1, 1), strides=(self.stride, self.stride),
+                          use_bias=False, dtype=self.dtype, name="downsample_conv")(x)
+            res = bn("downsample_bn")(res)
+        else:
+            res = x
+        return nn.relu(out + res)
+
+
+class ResNetDilated(nn.Module):
+    """extractors.py:112-161: dilated-/8 ResNet; strides (1,2,1,1),
+    dilations (1,1,2,4) with the first block of each layer undilated.
+    Returns (layer4, layer3)."""
+
+    block: str = "basic"  # 'basic' (18/34) | 'bottleneck' (50/101/152)
+    layers: Sequence[int] = (3, 4, 6, 3)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -73,23 +110,137 @@ class ResNet34Dilated(nn.Module):
                          epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        cls = BasicBlock if self.block == "basic" else BottleneckPSP
+        expansion = 1 if self.block == "basic" else 4
 
         def layer(x, planes, blocks, stride, dilation, name):
             # first block: given stride, dilation 1, downsample if needed
             in_ch = x.shape[-1]
-            x = BasicBlock(
-                planes, stride, 1, use_downsample=(stride != 1 or in_ch != planes),
+            x = cls(
+                planes, stride, 1,
+                use_downsample=(stride != 1 or in_ch != planes * expansion),
                 dtype=self.dtype, name=f"{name}_0",
             )(x, train)
             for i in range(1, blocks):
-                x = BasicBlock(planes, 1, dilation, dtype=self.dtype, name=f"{name}_{i}")(x, train)
+                x = cls(planes, 1, dilation, dtype=self.dtype, name=f"{name}_{i}")(x, train)
             return x
 
-        x = layer(x, 64, 3, 1, 1, "layer1")
-        x = layer(x, 128, 4, 2, 1, "layer2")
-        x3 = layer(x, 256, 6, 1, 2, "layer3")
-        x4 = layer(x3, 512, 3, 1, 4, "layer4")
+        l = self.layers
+        x = layer(x, 64, l[0], 1, 1, "layer1")
+        x = layer(x, 128, l[1], 2, 1, "layer2")
+        x3 = layer(x, 256, l[2], 1, 2, "layer3")
+        x4 = layer(x3, 512, l[3], 1, 4, "layer4")
         return x4, x3
+
+
+class ResNet34Dilated(ResNetDilated):
+    """The CSBSR default extractor (backend='resnet34')."""
+
+
+_RESNET_CONFIGS = {
+    "resnet18": ("basic", (2, 2, 2, 2)),
+    "resnet34": ("basic", (3, 4, 6, 3)),
+    "resnet50": ("bottleneck", (3, 4, 6, 3)),
+    "resnet101": ("bottleneck", (3, 4, 23, 3)),
+    "resnet152": ("bottleneck", (3, 8, 36, 3)),
+}
+
+
+class DenseNetExtractor(nn.Module):
+    """extractors.py:168-270: DenseNet-121 shape with /8 downsampling (only
+    transition1 pools); deep features tapped after transition3.
+    Returns (1024ch /8, 512ch /8)."""
+
+    growth_rate: int = 32
+    block_config: Sequence[int] = (6, 12, 24, 16)
+    num_init_features: int = 64
+    bn_size: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        bn = lambda name: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name=name,
+        )
+        x = nn.Conv(self.num_init_features, (7, 7), strides=(2, 2), padding=[(3, 3)] * 2,
+                    use_bias=False, dtype=self.dtype, name="conv0")(x)
+        x = nn.relu(bn("norm0")(x))
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+        deep = None
+        for bi, num_layers in enumerate(self.block_config):
+            for li in range(num_layers):
+                h = nn.relu(bn(f"db{bi+1}_l{li+1}_norm1")(x))
+                h = nn.Conv(self.bn_size * self.growth_rate, (1, 1), use_bias=False,
+                            dtype=self.dtype, name=f"db{bi+1}_l{li+1}_conv1")(h)
+                h = nn.relu(bn(f"db{bi+1}_l{li+1}_norm2")(h))
+                h = nn.Conv(self.growth_rate, (3, 3), padding=[(1, 1)] * 2, use_bias=False,
+                            dtype=self.dtype, name=f"db{bi+1}_l{li+1}_conv2")(h)
+                x = jnp.concatenate([x, h], axis=-1)
+            if bi != len(self.block_config) - 1:
+                x = nn.relu(bn(f"t{bi+1}_norm")(x))
+                x = nn.Conv(x.shape[-1] // 2, (1, 1), use_bias=False, dtype=self.dtype,
+                            name=f"t{bi+1}_conv")(x)
+                if bi < 1:  # only transition1 downsamples (extractors.py:203-206)
+                    x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+                if bi == 2:
+                    deep = x  # blocks index 5 == transition3 (extractors.py:255-262)
+        return x, deep
+
+
+class FireModule(nn.Module):
+    """extractors.py:266-287."""
+
+    squeeze: int
+    expand1x1: int
+    expand3x3: int
+    dilation: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d = self.dilation
+        s = nn.relu(nn.Conv(self.squeeze, (1, 1), dtype=self.dtype, name="squeeze")(x))
+        e1 = nn.relu(nn.Conv(self.expand1x1, (1, 1), dtype=self.dtype, name="expand1x1")(s))
+        e3 = nn.relu(nn.Conv(self.expand3x3, (3, 3), padding=[(d, d)] * 2,
+                             kernel_dilation=(d, d), dtype=self.dtype, name="expand3x3")(s))
+        return jnp.concatenate([e1, e3], axis=-1)
+
+
+class SqueezeNetExtractor(nn.Module):
+    """extractors.py:290-340 (SqueezeNet 1.1, /8 with dilated fire stages).
+    Returns (512ch /8, 256ch /8)."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        f1 = nn.relu(nn.Conv(64, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2,
+                             dtype=self.dtype, name="feat1_conv")(x))
+        f2 = nn.max_pool(f1, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        f2 = FireModule(16, 64, 64, dtype=self.dtype, name="fire1")(f2)
+        f2 = FireModule(16, 64, 64, dtype=self.dtype, name="fire2")(f2)
+        f3 = nn.max_pool(f2, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        f3 = FireModule(32, 128, 128, 2, dtype=self.dtype, name="fire3")(f3)
+        f3 = FireModule(32, 128, 128, 2, dtype=self.dtype, name="fire4")(f3)
+        f4 = FireModule(48, 192, 192, 4, dtype=self.dtype, name="fire5")(f3)
+        f4 = FireModule(48, 192, 192, 4, dtype=self.dtype, name="fire6")(f4)
+        f4 = FireModule(64, 256, 256, 4, dtype=self.dtype, name="fire7")(f4)
+        f4 = FireModule(64, 256, 256, 4, dtype=self.dtype, name="fire8")(f4)
+        return f4, f3
+
+
+def make_extractor(backend: str, dtype):
+    """extractors.py factory functions (:343-370), name='feats'."""
+    if backend in _RESNET_CONFIGS:
+        block, layers = _RESNET_CONFIGS[backend]
+        return ResNetDilated(block=block, layers=layers, dtype=dtype, name="feats")
+    if backend == "densenet":
+        return DenseNetExtractor(dtype=dtype, name="feats")
+    if backend == "squeezenet":
+        return SqueezeNetExtractor(dtype=dtype, name="feats")
+    raise NotImplementedError(backend)
 
 
 class PSPModule(nn.Module):
@@ -156,12 +307,13 @@ class PSPNet(nn.Module):
     """pspnet.py:60-125. Returns (main_sigmoid, aux_sigmoid)."""
 
     n_classes: int = 1
+    backend: str = "resnet34"  # extractors.py zoo: resnet18..152/densenet/squeezenet
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
         h, w = x.shape[1:3]
-        f, aux_f = ResNet34Dilated(dtype=self.dtype, name="feats")(x, train)
+        f, aux_f = make_extractor(self.backend, self.dtype)(x, train)
         p = PSPModule(1024, dtype=self.dtype, name="psp")(f)
         p = nn.Dropout(0.3, deterministic=not train)(p)
         p = PSPUpsample(256, dtype=self.dtype, name="up_1")(p, train)

@@ -177,6 +177,7 @@ def translate_pspnet(path: Tuple, kind: str) -> Optional[str]:
             inner = p[2]
             name_map = {
                 "conv1": "conv1", "bn1": "bn1", "conv2": "conv2", "bn2": "bn2",
+                "conv3": "conv3", "bn3": "bn3",  # Bottleneck backends (50/101/152)
                 "downsample_conv": "downsample.0", "downsample_bn": "downsample.1",
             }
             return f"feats.layer{layer}.{blk}.{name_map[inner]}.{suffix}"

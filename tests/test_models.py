@@ -89,3 +89,31 @@ def test_kbpn_lr_error_mode():
     assert kernel.shape == (1, k * k)
     # the LR-mode error conv exists in the param tree (KBlock 'conv')
     assert "conv" in variables["params"]["stage1_kb"]
+
+
+def test_pspnet_extractor_zoo():
+    """extractors.py zoo (resnet18..152 / densenet / squeezenet): forward
+    shapes and the documented feature channel counts."""
+    from csbsr_tpu.models.pspnet import make_extractor
+
+    x = jnp.zeros((1, 32, 32, 3))
+    expect = {
+        "resnet18": (512, 256), "resnet50": (2048, 1024),
+        "densenet": (1024, 512), "squeezenet": (512, 256),
+    }
+    for backend, (c4, c3) in expect.items():
+        m = make_extractor(backend, jnp.float32)
+        variables = m.init({"params": jax.random.PRNGKey(0)}, x)
+        f4, f3 = m.apply(variables, x, False)
+        assert f4.shape == (1, 4, 4, c4), (backend, f4.shape)
+        assert f3.shape == (1, 4, 4, c3), (backend, f3.shape)
+
+
+def test_pspnet_bottleneck_backend_end_to_end():
+    from csbsr_tpu.models.pspnet import PSPNet
+
+    m = PSPNet(n_classes=1, backend="resnet50")
+    x = jnp.zeros((1, 32, 32, 3))
+    variables = m.init({"params": jax.random.PRNGKey(0)}, x)
+    main, aux = m.apply(variables, x)
+    assert main.shape == (1, 32, 32, 1) and aux.shape == (1, 32, 32, 1)
