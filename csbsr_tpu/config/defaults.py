@@ -126,8 +126,8 @@ _C.TPU.DEGRADE_ON_DEVICE = True  # fuse blur+downsample into the train step
 # oriented_weight.py:36-44,61-70 / sr_loss_functions.py:35-38)
 _C.TPU.ORIENTED_WEIGHT_VARIANT = "exp"
 # DSRL DeepLab backbone: 'resnet' (ResNet101-OS16, the reference default and
-# the released checkpoint) or 'drn' (DRN-D-54; deeplab.py:29-33 code-level
-# option)
+# the released checkpoint), 'drn' (DRN-D-54), 'mobilenet' (MobileNetV2) or
+# 'xception' (AlignedXception) - the reference's build_backbone options
 _C.TPU.DSRL_BACKBONE = "resnet"
 # PSPNet extractor backend (extractors.py zoo; the reference hardcodes
 # resnet34 in the CSBSR path): resnet18/34/50/101/152 | densenet | squeezenet

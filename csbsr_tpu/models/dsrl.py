@@ -125,6 +125,167 @@ class DRND54(nn.Module):
         return x, low
 
 
+def _relu6(x):
+    return jnp.minimum(nn.relu(x), 6.0)
+
+
+class InvertedResidual(nn.Module):
+    """backbone/mobilenet.py:25-67: MobileNetV2 block with fixed_padding on
+    the depthwise conv (symmetric for k=3: pad = dilation each side)."""
+
+    out_ch: int
+    stride: int = 1
+    dilation: int = 1
+    expand_ratio: int = 6
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        inp = x.shape[-1]
+        hidden = round(inp * self.expand_ratio)
+        d = self.dilation
+        h = x
+        if self.expand_ratio != 1:
+            h = nn.Conv(hidden, (1, 1), use_bias=False, dtype=self.dtype, name="pw")(h)
+            h = _relu6(_bn(train, self.dtype, "pw_bn")(h))
+        h = nn.Conv(hidden, (3, 3), strides=(self.stride, self.stride),
+                    padding=[(d, d)] * 2, kernel_dilation=(d, d),
+                    feature_group_count=hidden, use_bias=False,
+                    dtype=self.dtype, name="dw")(h)
+        h = _relu6(_bn(train, self.dtype, "dw_bn")(h))
+        h = nn.Conv(self.out_ch, (1, 1), use_bias=False, dtype=self.dtype, name="pw_linear")(h)
+        h = _bn(train, self.dtype, "pw_linear_bn")(h)
+        if self.stride == 1 and inp == self.out_ch:
+            return x + h
+        return h
+
+
+class MobileNetV2OS16(nn.Module):
+    """backbone/mobilenet.py:70-123 at output_stride 16: low-level feature
+    after features[0:4] (24ch @ /4), high-level 320ch @ /16 (the last two
+    stages run dilated at stride 1)."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        x = nn.Conv(32, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2, use_bias=False,
+                    dtype=self.dtype, name="stem_conv")(x)
+        x = _relu6(_bn(train, self.dtype, "stem_bn")(x))
+        # (t, c, n, s) rows; dilations per the current_stride walk at os=16
+        settings = [
+            (1, 16, 1, 1, 1), (6, 24, 2, 2, 1), (6, 32, 3, 2, 1),
+            (6, 64, 4, 2, 1), (6, 96, 3, 1, 1), (6, 160, 3, 1, 1),
+            (6, 320, 1, 1, 2),
+        ]
+        low = None
+        idx = 0
+        for t, c, n, s, d in settings:
+            for i in range(n):
+                x = InvertedResidual(c, s if i == 0 else 1, d, t, dtype=self.dtype,
+                                     name=f"ir{idx}")(x, train)
+                idx += 1
+                if idx == 3:  # features[0:4] = stem + 3 blocks (mobilenet.py:115)
+                    low = x
+        return x, low
+
+
+class SeparableConv(nn.Module):
+    """backbone/xception.py:17-31: depthwise (with BN) + pointwise."""
+
+    out_ch: int
+    stride: int = 1
+    dilation: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        d = self.dilation
+        inp = x.shape[-1]
+        x = nn.Conv(inp, (3, 3), strides=(self.stride, self.stride),
+                    padding=[(d, d)] * 2, kernel_dilation=(d, d),
+                    feature_group_count=inp, use_bias=False,
+                    dtype=self.dtype, name="dw")(x)
+        x = _bn(train, self.dtype, "dw_bn")(x)
+        return nn.Conv(self.out_ch, (1, 1), use_bias=False, dtype=self.dtype,
+                       name="pointwise")(x)
+
+
+class XceptionBlock(nn.Module):
+    """backbone/xception.py:34-92."""
+
+    planes: int
+    reps: int
+    stride: int = 1
+    dilation: int = 1
+    start_with_relu: bool = True
+    grow_first: bool = True
+    is_last: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        inp = x.shape[-1]
+        h = x
+        ops = []  # (relu_before, out_ch, stride, dilation)
+        filters = inp
+        if self.grow_first:
+            ops.append((True, self.planes, 1, self.dilation))
+            filters = self.planes
+        for _ in range(self.reps - 1):
+            ops.append((True, filters, 1, self.dilation))
+        if not self.grow_first:
+            ops.append((True, self.planes, 1, self.dilation))
+        if self.stride != 1:
+            ops.append((True, self.planes, 2, 1))
+        if self.stride == 1 and self.is_last:
+            ops.append((True, self.planes, 1, 1))
+        for i, (pre_relu, ch, s, d) in enumerate(ops):
+            if pre_relu and not (i == 0 and not self.start_with_relu):
+                h = nn.relu(h)
+            h = SeparableConv(ch, s, d, dtype=self.dtype, name=f"sep{i}")(h, train)
+            h = _bn(train, self.dtype, f"sep{i}_bn")(h)
+        if self.planes != inp or self.stride != 1:
+            skip = nn.Conv(self.planes, (1, 1), strides=(self.stride, self.stride),
+                           use_bias=False, dtype=self.dtype, name="skip")(x)
+            skip = _bn(train, self.dtype, "skip_bn")(skip)
+        else:
+            skip = x
+        return h + skip
+
+
+class AlignedXceptionOS16(nn.Module):
+    """backbone/xception.py:94-215 at output_stride 16: entry (strides
+    2,2,2,2), 16 middle blocks, exit block + 3 separable convs dilated 2.
+    Low-level feature = relu(block1) (128ch @ /4)."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        blk = lambda planes, reps, name, **kw: XceptionBlock(
+            planes, reps, dtype=self.dtype, name=name, **kw)
+        x = nn.Conv(32, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2, use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        x = nn.relu(_bn(train, self.dtype, "bn1")(x))
+        x = nn.Conv(64, (3, 3), padding=[(1, 1)] * 2, use_bias=False,
+                    dtype=self.dtype, name="conv2")(x)
+        x = nn.relu(_bn(train, self.dtype, "bn2")(x))
+        x = blk(128, 2, "block1", stride=2, start_with_relu=False)(x, train)
+        x = nn.relu(x)
+        low = x
+        x = blk(256, 2, "block2", stride=2, start_with_relu=False)(x, train)
+        x = blk(728, 2, "block3", stride=2, is_last=True)(x, train)
+        for i in range(4, 20):
+            x = blk(728, 3, f"block{i}")(x, train)
+        x = blk(1024, 2, "block20", stride=1, dilation=1, grow_first=False,
+                is_last=True)(x, train)
+        for i, ch in ((3, 1536), (4, 1536), (5, 2048)):
+            x = SeparableConv(ch, 1, 2, dtype=self.dtype, name=f"conv{i}")(x, train)
+            x = nn.relu(_bn(train, self.dtype, f"bn{i}")(x))
+        return x, low
+
+
 class ASPP(nn.Module):
     """aspp.py:34-95 (os16: rates 1,6,12,18; os8/drn: 1,12,24,36; + image
     pooling)."""
@@ -201,7 +362,9 @@ class DSRL(nn.Module):
 
     num_classes: int = 1
     scale_factor: int = 4
-    backbone: str = "resnet"  # 'resnet' (ResNet101-OS16) | 'drn' (DRN-D-54, OS8)
+    # 'resnet' (ResNet101-OS16) | 'drn' (DRN-D-54, OS8) | 'mobilenet'
+    # (MobileNetV2, OS16) | 'xception' (AlignedXception, OS16)
+    backbone: str = "resnet"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -210,6 +373,12 @@ class DSRL(nn.Module):
             # deeplab.py:29-33: drn forces output_stride 8
             feats, low = DRND54(dtype=self.dtype, name="backbone")(x, train)
             os = 8
+        elif self.backbone == "mobilenet":
+            feats, low = MobileNetV2OS16(dtype=self.dtype, name="backbone")(x, train)
+            os = 16
+        elif self.backbone == "xception":
+            feats, low = AlignedXceptionOS16(dtype=self.dtype, name="backbone")(x, train)
+            os = 16
         else:
             feats, low = ResNet101OS16(dtype=self.dtype, name="backbone")(x, train)
             os = 16

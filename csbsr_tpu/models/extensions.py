@@ -437,6 +437,41 @@ class PacCRF(nn.Module):
         return logq
 
 
+class PacCRFLoose(nn.Module):
+    """paccrf.py:227-300: like PacCRF but every mean-field step has its own
+    parameters (a one-step PacCRF per step, shared edge kernels)."""
+
+    channels: int
+    num_steps: int = 5
+    kernel_sizes: tuple = (3,)
+    dilations: tuple = (1,)
+    unary_weight: float = 1.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, unary, edge_feat):
+        kernels = [
+            pac_gauss_kernel(edge_feat, ks, 1, (ks - 1) * d // 2, d, normalize=True)
+            for ks, d in zip(self.kernel_sizes, self.dilations)
+        ]
+        logq = unary
+        n = len(self.kernel_sizes)
+        for s in range(self.num_steps):
+            w_u = self.param(f"step{s}_unary_weight",
+                             nn.initializers.constant(self.unary_weight), ())
+            w_pair = self.param(f"step{s}_pairwise_weights", nn.initializers.ones, (n,))
+            q = jax.nn.softmax(logq, axis=-1)
+            logq = unary * w_u
+            for i, (ks, d) in enumerate(zip(self.kernel_sizes, self.dilations)):
+                compat = self.param(f"step{s}_compat{i}", nn.initializers.ones,
+                                    (self.channels, self.channels))
+                cols = _unfold_nhwc(q, ks, 1, (ks - 1) * d // 2, d)
+                msg = jnp.einsum("bhwk,bhwkc->bhwc", kernels[i].astype(q.dtype), cols)
+                msg = jnp.einsum("bhwc,cd->bhwd", msg, compat.astype(q.dtype))
+                logq = logq - msg * w_pair[i]
+        return logq
+
+
 # ------------------------------------------------------------- norm layers
 
 

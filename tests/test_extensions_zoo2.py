@@ -168,3 +168,16 @@ def test_bn_relu_sn_and_frn_wired(rng):
         out = np.asarray(m.apply(v, x))
         assert out.shape == x.shape and np.isfinite(out).all()
     assert (np.asarray(Wrap("sn").apply(Wrap("sn").init(jax.random.PRNGKey(0), x), x)) >= 0).all()
+
+
+def test_pac_crf_loose_runs(rng):
+    from csbsr_tpu.models.extensions import PacCRFLoose
+
+    unary = jnp.asarray(rng.randn(1, 8, 8, 2).astype(np.float32))
+    edge = jnp.asarray(rng.rand(1, 8, 8, 3).astype(np.float32))
+    m = PacCRFLoose(channels=2, num_steps=2)
+    v = m.init(jax.random.PRNGKey(0), unary, edge)
+    # per-step parameters exist (the 'loose' untying, paccrf.py:227-240)
+    assert "step0_pairwise_weights" in v["params"] and "step1_pairwise_weights" in v["params"]
+    out = np.asarray(m.apply(v, unary, edge))
+    assert out.shape == unary.shape and np.isfinite(out).all()

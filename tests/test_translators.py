@@ -145,3 +145,30 @@ def test_dsrl_x2_offset():
     t = translators.make_translate_dsrl(2)
     assert t(("up_sr_0", "kernel"), "kernel") == "up_sr_1.weight"
     assert t(("up_edsr_2", "conv0", "kernel"), "kernel") == "up_edsr_3.conv.0.weight"
+
+
+def test_dsrl_mobilenet_xception_forward_shapes(rng):
+    from csbsr_tpu.models.dsrl import DSRL
+
+    x = jnp.asarray(rng.rand(1, 32, 32, 3).astype(np.float32))
+    for backbone in ("mobilenet", "xception"):
+        m = DSRL(num_classes=1, scale_factor=4, backbone=backbone)
+        variables = m.init(jax.random.PRNGKey(0), x)
+        seg, sr, fea_seg, fea_sr = m.apply(variables, x)
+        assert seg.shape == (1, 128, 128, 1), backbone
+        assert sr.shape == (1, 128, 128, 3), backbone
+        assert np.isfinite(np.asarray(sr)).all(), backbone
+
+
+def test_dsrl_backbone_feature_channels(rng):
+    from csbsr_tpu.models.dsrl import AlignedXceptionOS16, MobileNetV2OS16
+
+    x = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    m = MobileNetV2OS16()
+    v = m.init(jax.random.PRNGKey(0), x)
+    f, low = m.apply(v, x)
+    assert f.shape == (1, 4, 4, 320) and low.shape == (1, 16, 16, 24)
+    m = AlignedXceptionOS16()
+    v = m.init(jax.random.PRNGKey(0), x)
+    f, low = m.apply(v, x)
+    assert f.shape == (1, 4, 4, 2048) and low.shape == (1, 16, 16, 128)
