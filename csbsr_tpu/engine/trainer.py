@@ -241,6 +241,12 @@ def do_train(
             scores: Dict[str, list] = {}
             first_eval = True
             for eb in eval_batches:
+                if "lr" not in eb:
+                    # lazy, deterministic degradation (one batch in HBM at a
+                    # time; same kernels at every eval step)
+                    seed = int(eb.get("degrade_seed", 0))
+                    lr_b, k_b = degrade_fn(jnp.asarray(eb["hr"]), jax.random.PRNGKey(seed))
+                    eb = {"hr": eb["hr"], "seg": eb["seg"], "lr": lr_b, "kernel": k_b}
                 m, outputs = eval_fn(state, shard_batch({k: jnp.asarray(v) for k, v in eb.items()}, mesh))
                 for k, v in m.items():
                     scores.setdefault(k, []).append(np.asarray(v))

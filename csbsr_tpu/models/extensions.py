@@ -416,9 +416,13 @@ class PacCRF(nn.Module):
         n = len(self.kernel_sizes)
         w_u = self.param("unary_weight", nn.initializers.constant(self.unary_weight), ())
         w_pair = self.param("pairwise_weights", nn.initializers.ones, (n,))
-        # '2d' compat (paccrf.py:118-157): a per-kernel CxC channel mixing
+        # '2d' compat (paccrf.py:96-104): Potts-style 1 - eye(C) init (zero
+        # diagonal) so at init the message penalises *other* classes
+        potts = lambda key, shape, dtype=jnp.float32: (
+            jnp.ones(shape, dtype) - jnp.eye(shape[0], dtype=dtype)
+        )
         compat = [
-            self.param(f"compat{i}", nn.initializers.ones, (self.channels, self.channels))
+            self.param(f"compat{i}", potts, (self.channels, self.channels))
             for i in range(n)
         ]
         kernels = [
@@ -462,8 +466,11 @@ class PacCRFLoose(nn.Module):
             w_pair = self.param(f"step{s}_pairwise_weights", nn.initializers.ones, (n,))
             q = jax.nn.softmax(logq, axis=-1)
             logq = unary * w_u
+            potts = lambda key, shape, dtype=jnp.float32: (
+                jnp.ones(shape, dtype) - jnp.eye(shape[0], dtype=dtype)
+            )
             for i, (ks, d) in enumerate(zip(self.kernel_sizes, self.dilations)):
-                compat = self.param(f"step{s}_compat{i}", nn.initializers.ones,
+                compat = self.param(f"step{s}_compat{i}", potts,
                                     (self.channels, self.channels))
                 cols = _unfold_nhwc(q, ks, 1, (ks - 1) * d // 2, d)
                 msg = jnp.einsum("bhwk,bhwkc->bhwc", kernels[i].astype(q.dtype), cols)

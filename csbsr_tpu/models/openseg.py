@@ -109,13 +109,18 @@ class DeepBaseResNet101Dilated8(nn.Module):
 
 
 class SelfAttentionBlock2D(nn.Module):
-    """base_oc_block.py:23-102: non-local attention with 2x(conv1x1+BNReLU)
-    key/query transforms, optional spatial down-scale, zero-init W."""
+    """Non-local attention with 2x(conv1x1+BNReLU) key/query transforms and
+    optional spatial down-scale. Two reference styles:
+      - 'base_oc' (base_oc_block.py:23-102): biased convs, plain zero-init W
+      - 'isa' (isa_block.py:16-71): bias-free convs, W = Conv(no bias)+BNReLU
+        with normal init
+    """
 
     key_channels: int
     value_channels: int
     out_channels: int
     scale: int = 1
+    style: str = "base_oc"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -124,24 +129,33 @@ class SelfAttentionBlock2D(nn.Module):
         if self.scale > 1:
             x = nn.max_pool(x, (self.scale, self.scale), strides=(self.scale, self.scale))
         h, w = x.shape[1:3]
+        use_bias = self.style == "base_oc"
 
         def kq(v, name):
-            v = nn.Conv(self.key_channels, (1, 1), dtype=self.dtype, name=f"{name}_conv0")(v)
+            v = nn.Conv(self.key_channels, (1, 1), use_bias=use_bias,
+                        dtype=self.dtype, name=f"{name}_conv0")(v)
             v = nn.relu(_bn(train, self.dtype, f"{name}_bn0")(v))
-            v = nn.Conv(self.key_channels, (1, 1), dtype=self.dtype, name=f"{name}_conv1")(v)
+            v = nn.Conv(self.key_channels, (1, 1), use_bias=use_bias,
+                        dtype=self.dtype, name=f"{name}_conv1")(v)
             return nn.relu(_bn(train, self.dtype, f"{name}_bn1")(v))
 
         query = kq(x, "f_query").reshape(b, h * w, self.key_channels)
         key = kq(x, "f_key").reshape(b, h * w, self.key_channels)
-        value = nn.Conv(self.value_channels, (1, 1), dtype=self.dtype, name="f_value")(x)
+        value = nn.Conv(self.value_channels, (1, 1), use_bias=use_bias,
+                        dtype=self.dtype, name="f_value")(x)
         value = value.reshape(b, h * w, self.value_channels)
 
         sim = jnp.einsum("bnc,bmc->bnm", query, key) * (self.key_channels**-0.5)
         sim = nn.softmax(sim, axis=-1)
         ctx = jnp.einsum("bnm,bmc->bnc", sim, value).reshape(b, h, w, self.value_channels)
-        # W is zero-initialised in the reference (base_oc_block.py:75-76)
-        ctx = nn.Conv(self.out_channels, (1, 1), kernel_init=nn.initializers.zeros,
-                      bias_init=nn.initializers.zeros, dtype=self.dtype, name="W")(ctx)
+        if self.style == "isa":
+            ctx = nn.Conv(self.out_channels, (1, 1), use_bias=False,
+                          dtype=self.dtype, name="W")(ctx)
+            ctx = nn.relu(_bn(train, self.dtype, "W_bn")(ctx))
+        else:
+            # W is zero-initialised in the reference (base_oc_block.py:75-76)
+            ctx = nn.Conv(self.out_channels, (1, 1), kernel_init=nn.initializers.zeros,
+                          bias_init=nn.initializers.zeros, dtype=self.dtype, name="W")(ctx)
         if self.scale > 1:
             ctx = resize(ctx, (h0, w0), method="bilinear", align_corners=True)
         return ctx
@@ -258,7 +272,7 @@ class ISAModule(nn.Module):
         def sa(v, in_name, out_ch):
             return SelfAttentionBlock2D(
                 self.key_channels, self.value_channels, out_ch, 1,
-                dtype=self.dtype, name=in_name,
+                style="isa", dtype=self.dtype, name=in_name,
             )(v, train)
 
         def isa_block(v, dh, dw, name):

@@ -94,14 +94,21 @@ def load_imagenet_backbones(cfg, params, batch_stats, log_fn=print) -> Tuple:
             if p:
                 jobs.append(("segmentation_model", translators.imagenet_vgg16_unet16, p, "VGG16->UNet16.encoder"))
         elif d.startswith("PSPNet"):
-            p = _find_weight("resnet34*.pth")
-            if p:
-                jobs.append(("segmentation_model", translators.imagenet_resnet_pspnet, p, "ResNet34->PSPNet.feats"))
+            # weight file must match the configured extractor backend; the
+            # densenet/squeezenet extractors have no torchvision-name
+            # translator, so they are skipped (trained from scratch)
+            backend = str(cfg.TPU.PSPNET_BACKEND)
+            if backend.startswith("resnet"):
+                p = _find_weight(f"{backend}*.pth")
+                if p:
+                    jobs.append(("segmentation_model", translators.imagenet_resnet_pspnet,
+                                 p, f"{backend}->PSPNet.feats"))
         elif d == "HRNet_OCR":
             p = _find_weight("hrnetv2_w48_imagenet_pretrained.pth", "hrnetv2_w48*.pth")
             if p:
                 jobs.append(("segmentation_model", translators.imagenet_hrnet_w48, p, "HRNet-W48->OCR.backbone"))
-    if "parallel_model" in params:
+    if "parallel_model" in params and cfg.TPU.DSRL_BACKBONE == "resnet":
+        # only the resnet backbone matches torchvision resnet101 names
         p = _find_weight("resnet101*.pth")
         if p:
             jobs.append(("parallel_model", translators.imagenet_resnet_dsrl, p, "ResNet101->DSRL.backbone"))
@@ -109,7 +116,11 @@ def load_imagenet_backbones(cfg, params, batch_stats, log_fn=print) -> Tuple:
     for mod, translate, path, label in jobs:
         sd = strip_prefixes(load_torch_state_dict(path))
         stats = batch_stats.get(mod, {}) if batch_stats else {}
-        new_p, new_s, n = convert_tree(params[mod], stats, sd, translate, partial=True)
+        try:
+            new_p, new_s, n = convert_tree(params[mod], stats, sd, translate, partial=True)
+        except ConversionError as e:
+            log_fn(f"(ImageNet init {label} from {path} failed: {e}; skipping)")
+            continue
         params = dict(params, **{mod: new_p})
         if batch_stats and stats:
             batch_stats = dict(batch_stats, **{mod: new_s})
@@ -124,6 +135,11 @@ def load_pretrained_dsrl(cfg, params, batch_stats, log_fn=print) -> Tuple:
     reference *adds* one to match its module tree - ours converts directly
     into the parallel_model subtree)."""
     if "parallel_model" not in params or cfg.MODEL.SR_SCRATCH:
+        return params, batch_stats
+    if cfg.TPU.DSRL_BACKBONE != "resnet":
+        # the released DSRL(.x4).pth holds the resnet backbone; other
+        # backbones train from scratch
+        log_fn(f"(DSRL backbone {cfg.TPU.DSRL_BACKBONE!r}: released weights not applicable)")
         return params, batch_stats
     fname = "DSRLx4" if cfg.MODEL.DSRL_UPSAMPLE == "deconv" else "DSRL"
     path = os.path.join("weights", f"{fname}.pth")

@@ -88,9 +88,10 @@ def convert_tree(params, batch_stats, torch_sd: Dict[str, np.ndarray], translate
                 w = np.transpose(w, (1, 0))
             elif kind == "alpha":
                 w = np.asarray(w).reshape(())
-            assert w.shape == np.shape(leaf), (
-                f"shape mismatch at {path}: torch {w.shape} vs flax {np.shape(leaf)}"
-            )
+            if w.shape != np.shape(leaf):
+                raise ConversionError(
+                    f"shape mismatch at {path}: torch {w.shape} vs flax {np.shape(leaf)}"
+                )
             out[path] = w.astype(np.asarray(leaf).dtype)
             filled[0] += 1
         return traverse_util.unflatten_dict(out)

@@ -115,18 +115,20 @@ def main():
         seed=cfg.SEED, start_iter=args.resume_iter, num_workers=args.num_workers,
     )
 
-    # eval batches: the full eval split with fixed degradation
-    degrade = jax.jit(make_degrade_fn(cfg))
+    # eval batches: the full eval split, kept as host numpy; degradation runs
+    # lazily (deterministic per-batch key) inside the eval loop so HBM holds
+    # only one eval batch at a time
     eval_batches = []
     rng = np.random.RandomState(cfg.SEED)
     if args.max_eval_batches:
         eval_idx = eval_idx[: args.max_eval_batches * cfg.SOLVER.BATCH_SIZE]
     for s in range(0, len(eval_idx) - cfg.SOLVER.BATCH_SIZE + 1, cfg.SOLVER.BATCH_SIZE):
         samples = [dataset.get(int(i), rng) for i in eval_idx[s : s + cfg.SOLVER.BATCH_SIZE]]
-        hr = jnp.asarray(np.stack([x[0] for x in samples]))
-        seg = jnp.asarray(np.stack([x[1] for x in samples]))
-        lr, k = degrade(hr, jax.random.PRNGKey(cfg.SEED + s))
-        eval_batches.append({"hr": hr, "seg": seg, "lr": lr, "kernel": k})
+        eval_batches.append({
+            "hr": np.stack([x[0] for x in samples]),
+            "seg": np.stack([x[1] for x in samples]),
+            "degrade_seed": cfg.SEED + s,
+        })
 
     model = model_from_cfg(cfg)
     do_train(
