@@ -36,6 +36,11 @@ def parse_args():
     )
     p.add_argument("--tti_crack_dataset", action="store_true")
     p.add_argument("--test_blured_name", type=str, default="")
+    # reference-parity knobs (test.py:91-92,98): batch_size bounds the
+    # patches per device call; num_workers is accepted for CLI parity
+    p.add_argument("--batch_size", type=int, default=12)
+    p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--origin_img_size", type=lambda s: s.lower() != "false", default=True)
     p.add_argument("opts", default=None, nargs=argparse.REMAINDER)
     return p.parse_args()
 
@@ -70,6 +75,8 @@ def main():
         output_dirname = args.output_dirname or os.path.join(
             args.test_dir, "eval", cfg.DATASET.TEST_BLURED_NAME, tag
         )
+    if "RetinalSeg" in cfg.DATASET.TEST_IMAGE_DIR and args.origin_img_size:
+        cfg.INPUT.IMAGE_SIZE = [560, 560]  # reference test.py:145-146
     cfg.OUTPUT_DIR = output_dirname
     cfg.freeze()
 
@@ -88,7 +95,8 @@ def main():
     if args.tti_crack_dataset:
         dataset = TTICrackDataSetTest(cfg, cfg.DATASET.TEST_IMAGE_DIR)
         assert len(dataset) > 0, "Dataset size is 0!!"
-        inference_tti(cfg, model, variables, dataset, output_dir=output_dirname)
+        inference_tti(cfg, model, variables, dataset, output_dir=output_dirname,
+                      max_patches_per_call=args.batch_size)
         return
 
     ds_cls = (
