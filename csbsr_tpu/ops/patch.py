@@ -29,6 +29,11 @@ def split_patch(img: jnp.ndarray, patch_h: int, patch_w: int):
     """
     h, w, c = img.shape
     nh, nw = h // patch_h, w // patch_w
+    if nh == 0 or nw == 0:
+        raise ValueError(
+            f"image {h}x{w} is smaller than the patch {patch_h}x{patch_w}; "
+            f"set INPUT.IMAGE_SIZE <= scale_factor * image size"
+        )
     x = img[: nh * patch_h, : nw * patch_w]
     x = x.reshape(nh, patch_h, nw, patch_w, c)
     x = x.transpose(0, 2, 1, 3, 4)  # nh, nw, ph, pw, c

@@ -85,3 +85,59 @@ def test_convert_released_cli_end_to_end(tiny_yaml, tmp_path):
     ref = model.apply(variables, x, None, False, train=False, clip_sr=True)
     np.testing.assert_allclose(np.asarray(out["sr"]), np.asarray(ref["sr"]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(out["seg"]), np.asarray(ref["seg"]), atol=1e-5)
+
+
+def test_parity_check_cli_runs(tmp_path):
+    """tools/parity_check.py end to end on synthetic weights + fixture data:
+    converts, evaluates, emits the comparison JSON (parity False with random
+    weights, exit code 1 by design)."""
+    torch = pytest.importorskip("torch")
+    import json
+    from PIL import Image
+    from csbsr_tpu.config import get_cfg_defaults
+    from csbsr_tpu.models import model_from_cfg
+    from csbsr_tpu.utils.pretrained import seg_translator_for, sr_translator_for
+    from csbsr_tpu.utils.torch_convert import export_params_to_torch_names
+    from csbsr_tpu.data.make_test_blur import make_test_blur_dir
+
+    # fixture data (96x96 so the 224-LR patching degenerates to 1 bucket-padded call)
+    img_dir = tmp_path / "images"; mask_dir = tmp_path / "masks"
+    img_dir.mkdir(); mask_dir.mkdir()
+    r = np.random.RandomState(5)
+    for i in range(2):
+        Image.fromarray((r.rand(96, 96, 3) * 255).astype(np.uint8)).save(img_dir / f"i{i}.jpg")
+        Image.fromarray(((r.rand(96, 96) > 0.85) * 255).astype(np.uint8), "L").save(mask_dir / f"i{i}.jpg")
+    blur_dir = tmp_path / "test_blured"
+    make_test_blur_dir(str(img_dir), str(blur_dir / "02_40"), kernel_size=21)
+
+    # synthetic released checkpoint for the cssr_pspnet recipe (DBPN - the
+    # smallest released config)
+    cfg = get_cfg_defaults()
+    cfg.merge_from_file(os.path.join(REPO, "configs", "config_cssr_pspnet.yaml"))
+    model = model_from_cfg(cfg)
+    ph = int(cfg.INPUT.IMAGE_SIZE[0] / cfg.MODEL.SCALE_FACTOR)
+    variables = jax.jit(lambda k: model.init({"params": k}, jnp.zeros((1, ph, ph, 3)), None, False, train=False))(
+        jax.random.PRNGKey(0))
+    sd = {}
+    for mod, translate in (("sr_model", sr_translator_for(cfg)),
+                           ("segmentation_model", seg_translator_for(cfg))):
+        for tree in (variables["params"][mod], (variables.get("batch_stats") or {}).get(mod) or {}):
+            for k, v in export_params_to_torch_names(tree, translate).items():
+                sd[f"{mod}.{k}"] = torch.from_numpy(np.asarray(v).copy())
+    pth = tmp_path / "iteration_99.pth"
+    torch.save(sd, pth)
+
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "parity_check.py"),
+         "--recipe", "cssr_pspnet", "--pth", str(pth),
+         "--image_dir", str(img_dir), "--mask_dir", str(mask_dir),
+         "--blur_dir", str(blur_dir), "--skip_hd", "--platform", "cpu",
+         "--workdir", str(tmp_path / "work"),
+         "INPUT.IMAGE_SIZE", "[96,96]"],
+        capture_output=True, text=True, cwd=REPO,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert res.returncode == 1, (res.returncode, res.stderr[-2000:])
+    report = json.loads(res.stdout[res.stdout.index("{"):])
+    assert report["recipe"] == "cssr_pspnet" and report["parity"] is False
+    assert any(row["metric"] == "AIU" for row in report["rows"])

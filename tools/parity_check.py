@@ -48,7 +48,17 @@ def main():
     p.add_argument("--tolerance", type=float, default=0.005, help="relative tolerance")
     p.add_argument("--skip_hd", action="store_true", help="skip the (slow) surface-distance metrics")
     p.add_argument("--workdir", default="", help="reuse a conversion dir (default: temp)")
+    p.add_argument("--platform", default="",
+                   help="force a jax platform (e.g. 'cpu'); the axon TPU plugin "
+                        "ignores JAX_PLATFORMS, only jax.config works")
+    p.add_argument("opts", default=None, nargs="*",
+                   help="yacs KEY VALUE overrides (e.g. INPUT.IMAGE_SIZE [96,96])")
     args = p.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     from tools.convert_released import main as _convert  # noqa: F401  (shared import path check)
     import subprocess
@@ -74,6 +84,8 @@ def main():
 
     cfg = get_cfg_defaults()
     cfg.merge_from_file(config)
+    if args.opts:
+        cfg.merge_from_list(args.opts)
     cfg.DATASET.TEST_IMAGE_DIR = args.image_dir
     cfg.DATASET.TEST_MASK_DIR = args.mask_dir
     cfg.DATASET.TEST_BLURED_DIR = args.blur_dir
