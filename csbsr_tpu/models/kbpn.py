@@ -41,6 +41,12 @@ from ..ops.banded import (
 )
 from ..ops.gap_conv import gap_conv3x3
 
+import os as _os
+
+# A/B switch: materialise the IKC kernel-feature chain densely instead of
+# using the banded/gap-collapse forms (identical math and param layout).
+_DENSE_IKC = _os.environ.get("CSBSR_DENSE_IKC", "0") == "1"
+
 
 class _ConvParams(nn.Module):
     """Bare conv kernel/bias holder, param-path compatible with ConvBlock's
@@ -212,21 +218,38 @@ class KernelPredictorLikeIKC(nn.Module):
 
         # fe_kernel convs over the spatially *constant* broadcast of the
         # previous kernel (kbpn.py:565-567). The reference materialises a
-        # 441-channel HR map and convolves it (~350 GFLOP/image/stage of
-        # redundant work); a zero-padded conv of a constant map is banded
-        # (piecewise constant), so the whole chain runs exactly on a tiny
-        # representative tile (ops/banded.py).  fe_cat0 (1x1) is split so the
-        # banded half is never materialised at 441 channels.
-        fh_b = banded_from_vector(pre_kernel_vec.astype(fsr.dtype))
-        fh_b = _BandedConvBlock(kernel_ch, 3, "lrelu", dtype=self.dtype, name="fe_kernel0")(fh_b)
-        fh_b = _BandedConvBlock(kernel_ch, 3, "lrelu", dtype=self.dtype, name="fe_kernel1")(fh_b)
+        # kernel_ch-channel HR map and convolves it; a zero-padded conv of a
+        # constant map is banded (piecewise constant), so the chain runs
+        # exactly on a tiny representative tile (ops/banded.py), and fe_cat0
+        # (1x1) is split so the banded half is never materialised. For small
+        # estimate kernels the banded bookkeeping (many small ops) can cost
+        # more than the dense FLOPs it saves - CSBSR_DENSE_IKC=1 selects the
+        # dense form for A/B (identical params, exact same math).
+        if _DENSE_IKC:
+            h, w = sr.shape[1:3]
+            cond_ch = pre_kernel_vec.shape[-1]  # ksize_output^2 map channels
+            fh = jnp.broadcast_to(
+                pre_kernel_vec.astype(fsr.dtype)[:, None, None, :],
+                (sr.shape[0], h, w, cond_ch),
+            )
+            fh = cb(kernel_ch, 3, 1, "lrelu", "fe_kernel0")(fh, train)
+            fh = cb(kernel_ch, 3, 1, "lrelu", "fe_kernel1")(fh, train)
+            d = cb(red, 1, 0, "lrelu", "fe_cat0")(jnp.concatenate([fsr, fh], -1), train)
+            d = cb(red, 3, 1, "lrelu", "fe_cat1")(d, train)
+            d = ConvBlock(kernel_ch, 3, 1, 1, activation=None, norm=None,
+                          dtype=self.dtype, name="fe_cat2")(d, train)
+            delta = jnp.mean(d.astype(jnp.float32), axis=(1, 2))
+        else:
+            fh_b = banded_from_vector(pre_kernel_vec.astype(fsr.dtype))
+            fh_b = _BandedConvBlock(kernel_ch, 3, "lrelu", dtype=self.dtype, name="fe_kernel0")(fh_b)
+            fh_b = _BandedConvBlock(kernel_ch, 3, "lrelu", dtype=self.dtype, name="fe_kernel1")(fh_b)
 
-        d = _SplitCat1x1(red, dtype=self.dtype, name="fe_cat0")(fsr, fh_b)
-        d = cb(red, 3, 1, "lrelu", "fe_cat1")(d, train)
-        # fe_cat2 (3x3 conv, no bias/act) feeds straight into a GAP; the
-        # composition collapses to border-corrected partial sums
-        # (ops/gap_conv.py) - exact, and skips a 441-channel HR map.
-        delta = _GAPConv3x3Block(kernel_ch, name="fe_cat2")(d)  # (B, est^2)
+            d = _SplitCat1x1(red, dtype=self.dtype, name="fe_cat0")(fsr, fh_b)
+            d = cb(red, 3, 1, "lrelu", "fe_cat1")(d, train)
+            # fe_cat2 (3x3 conv, no bias/act) feeds straight into a GAP; the
+            # composition collapses to border-corrected partial sums
+            # (ops/gap_conv.py) - exact, and skips a kernel_ch-channel HR map.
+            delta = _GAPConv3x3Block(kernel_ch, name="fe_cat2")(d)  # (B, est^2)
 
         if self.ksize_output != self.estimate_ksize:
             k2d = delta.reshape(-1, self.estimate_ksize, self.estimate_ksize, 1)

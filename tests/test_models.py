@@ -117,3 +117,22 @@ def test_pspnet_bottleneck_backend_end_to_end():
     variables = m.init({"params": jax.random.PRNGKey(0)}, x)
     main, aux = m.apply(variables, x)
     assert main.shape == (1, 32, 32, 1) and aux.shape == (1, 32, 32, 1)
+
+
+def test_dense_ikc_matches_banded(monkeypatch):
+    """CSBSR_DENSE_IKC selects the materialised IKC chain; both forms are
+    the same math on the same params, so outputs must agree."""
+    import csbsr_tpu.models.kbpn as kbpn_mod
+    from csbsr_tpu.models.kbpn import KBPN
+
+    k = 7
+    m = KBPN(scale_factor=4, num_stages=2, estimate_ksize=k, ksize_output=k)
+    x = jnp.asarray(np.random.RandomState(2).rand(2, 14, 14, 3).astype(np.float32))
+    kv = jnp.ones((2, k * k)) / (k * k)
+    monkeypatch.setattr(kbpn_mod, "_DENSE_IKC", False)
+    variables = m.init({"params": jax.random.PRNGKey(0)}, x, kv, False, train=False)
+    sr_b, kern_b = m.apply(variables, x, kv, False, train=False)
+    monkeypatch.setattr(kbpn_mod, "_DENSE_IKC", True)
+    sr_d, kern_d = m.apply(variables, x, kv, False, train=False)
+    np.testing.assert_allclose(np.asarray(kern_d), np.asarray(kern_b), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(sr_d), np.asarray(sr_b), atol=2e-4)
