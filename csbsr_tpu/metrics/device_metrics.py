@@ -80,3 +80,30 @@ def kernel_psnr(kernel_pred: jnp.ndarray, kernel_gt: jnp.ndarray) -> jnp.ndarray
     kg = kernel_gt / jnp.clip(jnp.max(kernel_gt, axis=(-2, -1), keepdims=True), 1e-12, None)
     mse = jnp.mean((kp - kg) ** 2, axis=(-2, -1))
     return 10.0 * jnp.log10(1.0 / mse)
+
+
+def hausdorff_distance(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """Symmetric Hausdorff distance on binary masks, on device.
+
+    Rebuild of the reference's EDT-based HausdorffDistance
+    (`estimate_metrics.py:205-232`, dormant there): the directed distance
+    hd(x, y) = max over nonzero(x) of EDT-to-nonzero(y); the result is the
+    max of both directions, Inf when either mask is empty.
+    pred/target: (B, H, W) or (B, H, W, 1) bool/0-1. Returns (B,) float32.
+    """
+    from ..ops.edt import edt
+
+    if pred.ndim == 4:
+        pred = pred[..., 0]
+    if target.ndim == 4:
+        target = target[..., 0]
+    p = pred > 0.5
+    t = target > 0.5
+
+    def directed(x, y):
+        d = edt(y)  # distance to nearest True of y
+        m = jnp.max(jnp.where(x, d, -jnp.inf), axis=(-2, -1))
+        empty = ~jnp.any(x, axis=(-2, -1)) | ~jnp.any(y, axis=(-2, -1))
+        return jnp.where(empty, jnp.inf, m)
+
+    return jnp.maximum(directed(p, t), directed(t, p)).astype(jnp.float32)

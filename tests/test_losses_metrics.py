@@ -205,3 +205,26 @@ def test_calc_distance_metrics_outliers():
     assert hd[0, 0] == 8  # one-empty -> max image side
     assert hd[0, 1] == 0.0
     assert msd[0, 0] == 8
+
+
+def test_hausdorff_distance_matches_scipy(rng):
+    """Device HD vs a scipy transcription of estimate_metrics.py:205-232."""
+    from scipy.ndimage import distance_transform_edt as scipy_edt
+
+    from csbsr_tpu.metrics.device_metrics import hausdorff_distance
+
+    pred = rng.rand(3, 24, 24) > 0.8
+    tgt = rng.rand(3, 24, 24) > 0.8
+    pred[2] = False  # empty mask -> Inf
+
+    def ref_hd(x, y):
+        if not x.any() or not y.any():
+            return np.inf
+        d = scipy_edt(np.logical_not(y))
+        return d[np.nonzero(x)].max()
+
+    expected = np.array([max(ref_hd(pred[i], tgt[i]), ref_hd(tgt[i], pred[i]))
+                         for i in range(3)])
+    got = np.asarray(hausdorff_distance(jnp.asarray(pred), jnp.asarray(tgt)))
+    assert np.isinf(got[2]) and np.isinf(expected[2])
+    np.testing.assert_allclose(got[:2], expected[:2], rtol=1e-5)
