@@ -77,9 +77,20 @@ def build_eval_step(cfg, model):
     """Jitted eval: forward (no dropout, running BN stats) + metrics.
 
     Mirrors the in-training eval loop (trainer.py:133-250): clipped SR
-    PSNR/SSIM, kernel PSNR, IoU at 0.5.
+    PSNR/SSIM, kernel PSNR, IoU at 0.5.  In SR-pretrain mode
+    (`DATASET.ONLY_IMAGES`) the model has no segmentation head
+    (`outputs["seg"] is None`), so only SR metrics are computed — the
+    reference's `do_pretrain_sr` eval contract (trainer.py:328-352:
+    PSNR/SSIM on clipped SR + kernel PSNR, no IoU).  Kernel PSNR is only
+    meaningful for kernel-predicting SR nets (KBPN); DBPN/SrcNetSR/bicubic
+    return a zero kernel vector, which the reference never scores.
     """
     ksize = int(cfg.BLUR.KERNEL_SIZE_OUTPUT)
+    sr_only = bool(cfg.DATASET.ONLY_IMAGES)
+    has_kernel = cfg.MODEL.SR == "KBPN"
+    # inverse mode SRs the 1-channel seg map; PSNR/SSIM against the RGB HR
+    # are meaningless, same skip as the test harness (engine/inference.py:100)
+    sr_metrics = not bool(cfg.MODEL.SR_SEG_INV) and cfg.MODEL.SCALE_FACTOR != 1
 
     def eval_step(state: TrainState, batch):
         kernel_vec = batch["kernel"].reshape(batch["kernel"].shape[0], -1)
@@ -90,20 +101,22 @@ def build_eval_step(cfg, model):
         )
         sr = jnp.clip(outputs["sr"].astype(jnp.float32), 0.0, 1.0)
         hr = batch["hr"].astype(jnp.float32)
-        m = {
-            "psnr": psnr(sr, hr),
-            "ssim": ssim(sr, hr),
-            "iou@0.5": iou_thresholds(
+        m = {}
+        if sr_metrics:
+            m["psnr"] = psnr(sr, hr)
+            m["ssim"] = ssim(sr, hr)
+        if not sr_only and outputs["seg"] is not None:
+            m["iou@0.5"] = iou_thresholds(
                 outputs["seg"].astype(jnp.float32), batch["seg"].astype(jnp.float32),
                 jnp.asarray([0.5], jnp.float32),
-            )[:, 0],
-        }
-        # kernel PSNR on clipped sum-1 kernels (trainer.py:154-158 semantics)
-        kvec = outputs["kernel"].astype(jnp.float32)
-        kvec = kvec / jnp.sum(kvec, axis=-1, keepdims=True)
-        k2d = jnp.clip(kvec.reshape(-1, ksize, ksize, 1), 0.0, 1.0)
-        kt = jnp.clip(batch["kernel"].astype(jnp.float32)[..., None], 0.0, 1.0)
-        m["kernel_psnr"] = psnr(k2d, kt)
+            )[:, 0]
+        if has_kernel and sr_metrics:
+            # kernel PSNR on clipped sum-1 kernels (trainer.py:154-158 semantics)
+            kvec = outputs["kernel"].astype(jnp.float32)
+            kvec = kvec / jnp.sum(kvec, axis=-1, keepdims=True)
+            k2d = jnp.clip(kvec.reshape(-1, ksize, ksize, 1), 0.0, 1.0)
+            kt = jnp.clip(batch["kernel"].astype(jnp.float32)[..., None], 0.0, 1.0)
+            m["kernel_psnr"] = psnr(k2d, kt)
         return m, outputs
 
     return eval_step
@@ -202,6 +215,14 @@ def do_train(
     if resume_iter:
         state = restore_checkpoint(cfg.OUTPUT_DIR, state, resume_iter)
 
+    if jax.process_count() > 1:
+        # multi-host: every process computed the same init (same seed); turn
+        # the host-identical state into replicated global arrays over the
+        # cross-host mesh (parallel/mesh.py, SURVEY.md 2.9)
+        from ..parallel.mesh import replicate_state
+
+        state = replicate_state(state, mesh)
+
     group_ids = grad_group_ids(state.params)
     step_fn = jax.jit(build_train_step(cfg, model, pc, group_ids), donate_argnums=(0,))
     eval_fn = jax.jit(build_eval_step(cfg, model)) if eval_batches is not None else None
@@ -233,7 +254,8 @@ def do_train(
             logging = {k: 0.0 for k in logging}
             tic = time.time()
 
-        if save_step and iteration % save_step == 0 and not debug:
+        if (save_step and iteration % save_step == 0 and not debug
+                and jax.process_index() == 0):
             path = save_checkpoint(cfg.OUTPUT_DIR, state, iteration)
             log_fn(f"=====> Save Checkpoint to {path}")
 
@@ -247,10 +269,22 @@ def do_train(
                     seed = int(eb.get("degrade_seed", 0))
                     lr_b, k_b = degrade_fn(jnp.asarray(eb["hr"]), jax.random.PRNGKey(seed))
                     eb = {"hr": eb["hr"], "seg": eb["seg"], "lr": lr_b, "kernel": k_b}
+                if jax.process_count() > 1:
+                    # eval batches are host-global; feed only the local block
+                    # (shard_batch assembles the global array from shards)
+                    per = eb["hr"].shape[0] // jax.process_count()
+                    lo = jax.process_index() * per
+                    eb = {k: v[lo : lo + per] for k, v in eb.items()}
                 m, outputs = eval_fn(state, shard_batch({k: jnp.asarray(v) for k, v in eb.items()}, mesh))
+                if jax.process_count() > 1:
+                    # per-sample metric vectors are data-sharded; gather the
+                    # full vectors to every host
+                    from jax.experimental import multihost_utils
+
+                    m = multihost_utils.process_allgather(m)
                 for k, v in m.items():
-                    scores.setdefault(k, []).append(np.asarray(v))
-                if first_eval and not debug:
+                    scores.setdefault(k, []).append(np.asarray(v).reshape(-1))
+                if first_eval and not debug and jax.process_count() == 1:
                     # sample dumps of the first eval batch (trainer.py:186-227)
                     from ..utils.save_output import save_img
 
@@ -260,8 +294,9 @@ def do_train(
                     save_img(pred_dir, np.clip(np.asarray(outputs["sr"][:n], np.float32), 0, 1),
                              [f"sr{iteration}_{i}.png" for i in range(n)])
                     save_img(pred_dir, np.asarray(eb["hr"][:n]), [f"hr{iteration}_{i}.png" for i in range(n)])
-                    save_img(pred_dir, np.asarray(outputs["seg"][:n], np.float32),
-                             [f"seg{iteration}_{i}.png" for i in range(n)])
+                    if outputs["seg"] is not None:
+                        save_img(pred_dir, np.asarray(outputs["seg"][:n], np.float32),
+                                 [f"seg{iteration}_{i}.png" for i in range(n)])
                     first_eval = False
             means = {k: float(np.concatenate(v).mean()) for k, v in scores.items()}
             log_fn(f"=====> Eval @ {iteration}: " + ", ".join(f"{k}={v:.4f}" for k, v in means.items()))
