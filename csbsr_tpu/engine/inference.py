@@ -6,8 +6,10 @@ patched LR -> jitted model -> patch reassembly -> PSNR/SSIM/kernel-PSNR,
 the host surface-distance metric, mask/image/kernel dumps, iou_log.csv.
 
 TPU-first: the patch axis is the batch axis (sharded over the mesh); the
-99-threshold IoU is one broadcasted op on device; only the surface-distance
-metric runs on host (eval-only, like the reference).
+99-threshold IoU is one broadcasted op on device; the 99-threshold HD/MSD
+bank is one jitted device program (metrics/device_surface.py) with the
+host scipy/C++ implementation kept as a parity oracle
+(--surface_distance_host).
 """
 from __future__ import annotations
 
@@ -67,11 +69,24 @@ def inference_for_ss(
     output_dir: str,
     test_aiu: bool = True,
     test_surface_distance: bool = False,
+    surface_distance_device: bool = True,
     test_classification_metrics: bool = False,
     save_images: bool = False,
+    wandb_flag: bool = False,
+    wandb_project: str = "CSBSR_test",
     log_fn=print,
 ) -> Dict[str, float]:
-    """Evaluate over a CrackDataSetTest-style dataset. Returns summary dict."""
+    """Evaluate over a CrackDataSetTest-style dataset. Returns summary dict.
+
+    Observability mirrors the reference harness (`inference.py:148-207`):
+    per-image metric rows and run means go to OUTPUT_DIR/metrics.jsonl (and
+    wandb when enabled); metric-vs-threshold curves are saved as pngs and
+    streamed to wandb like plot_metrics_th.
+    """
+    from ..utils.logging import MetricsLogger
+
+    mlog = MetricsLogger(output_dir, wandb_flag=wandb_flag, project=wandb_project,
+                         config=dict(cfg))
     infer = build_infer_fn(cfg, model, variables)
     if test_aiu:
         thresholds = np.array([i * 0.01 for i in range(1, 100)], np.float32)
@@ -134,12 +149,36 @@ def inference_for_ss(
             spec_scores.extend(np.atleast_1d(cls["spec"]))
 
         if test_surface_distance:
-            seg_bi = np.asarray(seg_pred[:, :, :, 0])[:, None] > thresholds[:, None, None]
-            seg_bi = np.moveaxis(seg_bi, 0, 1) if seg_bi.shape[0] != 1 else seg_bi
-            gt_bi = np.asarray(seg_t[:, :, :, 0])[:, None] > 0.5
-            hd, msd = calc_distance_metrics(seg_bi, gt_bi)
-            hd_rows.append(hd[0])
-            msd_rows.append(msd[0])
+            if surface_distance_device:
+                # whole 99-threshold bank scored on device in one jitted call
+                # (metrics/device_surface.py); the host path below is the
+                # scipy parity oracle
+                from ..metrics.device_surface import distance_metrics_banked
+
+                hd, msd = distance_metrics_banked(
+                    seg_pred[:, :, :, 0], seg_t[:, :, :, 0] > 0.5, th_dev
+                )
+                hd_rows.append(np.asarray(hd)[0])
+                msd_rows.append(np.asarray(msd)[0])
+            else:
+                seg_bi = np.asarray(seg_pred[:, :, :, 0])[:, None] > thresholds[:, None, None]
+                seg_bi = np.moveaxis(seg_bi, 0, 1) if seg_bi.shape[0] != 1 else seg_bi
+                gt_bi = np.asarray(seg_t[:, :, :, 0])[:, None] > 0.5
+                hd, msd = calc_distance_metrics(seg_bi, gt_bi)
+                hd_rows.append(hd[0])
+                msd_rows.append(msd[0])
+
+        # per-image row (reference wandb_log, inference.py:148-160)
+        row = {
+            "PSNR_score": psnr_scores[-1],
+            "SSIM_score": ssim_scores[-1],
+            "PSNR(Kernel)_score": kpsnr_scores[-1],
+            "AIU_scores": float(np.mean(aiu_rows[-1])),
+        }
+        if hd_rows:
+            row["HD95_scores"] = float(np.mean(hd_rows[-1]))
+            row["MSD_scores"] = float(np.mean(msd_rows[-1]))
+        mlog.log(row, step=i)
 
         if (i + 1) % 10 == 0:
             log_fn(f"estimation {(i+1)/len(dataset)*100:.1f} % finish! "
@@ -175,7 +214,23 @@ def inference_for_ss(
         f"PSNR(Kernel)_mean:{summary['PSNR_kernel']:.4f} AIU_mean:{summary['AIU']:.4f} "
         f"IoU_max:{summary['IoU_max']:.4f}"
     )
+    # run means (+medians for the robust distances, inference.py:179-193)
+    final = {f"{k}_mean": v for k, v in summary.items()}
+    if hd_rows:
+        final["HD95_score_median"] = float(np.median(ahd))
+        final["MSD_score_median"] = float(np.median(amsd))
+    mlog.log(final, step=len(dataset))
+    # metric-vs-threshold artifacts (plot_metrics_th, inference.py:275-285)
+    if test_aiu:
+        plot_metrics_th(aiu, thresholds, "IoU", output_dir, wandb_run=mlog.wandb_run)
+    if hd_rows:
+        for med in (False, True):
+            plot_metrics_th(ahd, thresholds, "HD95", output_dir, med=med,
+                            wandb_run=mlog.wandb_run)
+            plot_metrics_th(amsd, thresholds, "MSD", output_dir, med=med,
+                            wandb_run=mlog.wandb_run)
     save_iou_log(aiu, thresholds, fnames, output_dir)
+    mlog.close()
     return summary
 
 
@@ -212,6 +267,36 @@ def inference_tti(
         save_mask(output_dir, seg_np, [fname], -1)
         if (i + 1) % 10 == 0:
             log_fn(f"tti inference {(i+1)}/{len(dataset)}")
+
+
+def plot_metrics_th(scores, thresholds, name, output_dir, med=False, wandb_run=None):
+    """Metric-vs-threshold curve artifact (`inference.py:275-285`).
+
+    The reference streams the curve point-by-point to wandb; here it is also
+    rendered to <output_dir>/<name>[_median]_vs_threshold.png so the artifact
+    exists without a network.
+    scores: (N_images, T); thresholds: (T,).
+    """
+    curve = np.median(scores, axis=0) if med else np.mean(scores, axis=0)
+    label = name + ("_median" if med else "")
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(5.0, 3.5))
+    ax.plot(np.asarray(thresholds), curve, color="#4269d0", linewidth=1.5)
+    ax.set_xlabel("threshold")
+    ax.set_ylabel(label)
+    ax.set_title(f"{label} vs threshold")
+    ax.grid(True, alpha=0.3)
+    fig.tight_layout()
+    os.makedirs(output_dir, exist_ok=True)
+    fig.savefig(os.path.join(output_dir, f"{label}_vs_threshold.png"), dpi=120)
+    plt.close(fig)
+    if wandb_run is not None:
+        for v, th in zip(curve, np.asarray(thresholds)):
+            wandb_run.log({f"{name}(thresholds)": float(v), "thresholds": float(th)})
 
 
 def save_iou_log(aiu_scores, thresholds, fnames, output_dir):

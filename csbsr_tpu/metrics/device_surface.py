@@ -1,0 +1,138 @@
+"""Device-side (jit) robust surface distances over a threshold bank.
+
+TPU-first rebuild of the 99-threshold HD/MSD eval
+(`/root/reference/model/engine/inference.py:293-336` driving the vendored
+DeepMind package, `surface_distance/metrics/surface_distance.py:136-288`):
+the reference binarises every prediction at 99 thresholds and runs
+scipy EDT + marching squares per (image, threshold) on the host.  Here the
+whole bank is one jitted program:
+
+  1. 2x2 neighbourhood codes as a conv (kernel [[8,4],[2,1]], padding 1 on
+     every side => the (H+1)x(W+1) window grid of the reference's
+     bbox-crop-plus-zero-pad, `_crop_to_bounding_box`, for ANY mask);
+  2. contour length per element via a 16-entry table gather
+     (`lookup_tables.py:330-360`);
+  3. exact EDT on device (ops/edt.py) for both border maps;
+  4. area-weighted robust percentile by bisection on the step CDF
+     F(d) = sum(area * [dist <= d]) - equivalent to the reference's
+     sort + cumsum + searchsorted(left) on the sorted distance list;
+  5. area-weighted mean for MSD.
+
+The host implementation (metrics/surface_distance.py) stays as the parity
+oracle; tests/test_device_surface.py checks them against each other.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .surface_distance import _contour_length_table
+from ..ops.edt import edt
+
+_N_BISECT = 35  # resolution: diag / 2^35 << f32 eps at image scales
+
+
+def _codes(mask: jnp.ndarray, table: jnp.ndarray):
+    """mask (..., H, W) bool -> (areas, borders) on the (H+1, W+1) grid.
+
+    code[i, j] = 8*m[i-1,j-1] + 4*m[i-1,j] + 2*m[i,j-1] + m[i,j] with zeros
+    beyond the image: scipy.ndimage.correlate's even-kernel alignment used by
+    the reference (center at index 1), extended one row/col on every side so
+    edge-touching objects get their outside transition elements exactly as
+    the reference's zero-padded crop does.
+    """
+    lead = mask.shape[:-2]
+    h, w = mask.shape[-2:]
+    x4 = mask.astype(jnp.float32).reshape((-1, h, w, 1))
+    kern = jnp.asarray([[8.0, 4.0], [2.0, 1.0]], jnp.float32).reshape(2, 2, 1, 1)
+    code = jax.lax.conv_general_dilated(
+        x4, kern, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )[..., 0]
+    code = code.reshape(lead + (h + 1, w + 1)).astype(jnp.int32)
+    borders = (code != 0) & (code != 0b1111)
+    areas = table[code]
+    return jnp.where(borders, areas, 0.0), borders
+
+
+def _weighted_percentile(dist, weight, frac: float, hi0: float):
+    """Smallest d in the weighted distance set with CDF(d) >= frac.
+
+    Bisection on the right-continuous step function F(d); converges to the
+    same element the reference's searchsorted-on-cumsum picks
+    (surface_distance.py:322-358). dist/weight broadcast together over the
+    trailing two axes.
+    """
+    dist, weight = jnp.broadcast_arrays(dist, weight)
+    total = jnp.sum(weight, axis=(-2, -1))
+    target = frac * total
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        ge = jnp.sum(weight * (dist <= mid[..., None, None]), axis=(-2, -1)) >= target
+        return jnp.where(ge, lo, mid), jnp.where(ge, mid, hi)
+
+    lo = jnp.zeros_like(total)
+    hi = jnp.full_like(total, hi0)
+    lo, hi = jax.lax.fori_loop(0, _N_BISECT, body, (lo, hi))
+    return hi
+
+
+@functools.partial(jax.jit, static_argnames=("percentile",))
+def distance_metrics_banked(prob: jnp.ndarray, gt: jnp.ndarray,
+                            thresholds: jnp.ndarray, percentile: float = 50.0):
+    """Binarise a probability map at a threshold bank and score HD/MSD in one
+    jitted program: prob (B, H, W), gt (B, H, W), thresholds (T,) ->
+    (hd, msd) each (B, T). The device form of the reference's
+    per-(image, threshold) host loop (inference.py:293-336)."""
+    bank = prob[:, None, :, :] > thresholds[None, :, None, None]
+    return distance_metrics_device(bank, gt, percentile=percentile)
+
+
+@functools.partial(jax.jit, static_argnames=("percentile",))
+def distance_metrics_device(pred_bank: jnp.ndarray, gt: jnp.ndarray,
+                            percentile: float = 50.0):
+    """Batched robust HD + MSD over a threshold bank, entirely on device.
+
+    pred_bank: (B, T, H, W) bool/0-1 (already binarised per threshold);
+    gt: (B, H, W) bool/0-1. Returns (hd, msd), each (B, T) float32, with the
+    reference harness's empty-mask convention (inference.py:304-334):
+    both empty -> 0, one empty -> outlier = max(H, W).
+    """
+    b, t, h, w = pred_bank.shape
+    table = jnp.asarray(_contour_length_table(), jnp.float32)
+    max_len = jnp.float32(max(h, w))
+    frac = float(percentile) / 100.0
+    hi0 = math.hypot(h + 1, w + 1) + 1.0
+
+    w_g, borders_g = _codes(gt > 0.5, table)                       # (B, H+1, W+1)
+    w_p, borders_p = _codes((pred_bank > 0.5).reshape(b * t, h, w), table)
+    w_p = w_p.reshape(b, t, h + 1, w + 1)
+    borders_p = borders_p.reshape(b, t, h + 1, w + 1)
+
+    dist_to_g = edt(borders_g)                                      # (B, H+1, W+1)
+    dist_to_p = edt(borders_p.reshape(b * t, h + 1, w + 1)).reshape(b, t, h + 1, w + 1)
+
+    tot_g = jnp.sum(w_g, axis=(-2, -1))[:, None]                    # (B, 1)
+    tot_p = jnp.sum(w_p, axis=(-2, -1))                             # (B, T)
+
+    hd = jnp.maximum(
+        _weighted_percentile(dist_to_p, w_g[:, None], frac, hi0),
+        _weighted_percentile(dist_to_g[:, None], w_p, frac, hi0),
+    )
+    msd_gp = jnp.sum(w_g[:, None] * dist_to_p, axis=(-2, -1)) / jnp.maximum(tot_g, 1e-30)
+    msd_pg = jnp.sum(w_p * dist_to_g[:, None], axis=(-2, -1)) / jnp.maximum(tot_p, 1e-30)
+    msd = 0.5 * (msd_gp + msd_pg)
+
+    g_empty = tot_g == 0
+    p_empty = tot_p == 0
+    both = g_empty & p_empty
+    either = g_empty | p_empty
+    hd = jnp.where(both, 0.0, jnp.where(either, max_len, hd))
+    msd = jnp.where(both, 0.0, jnp.where(either, max_len, msd))
+    return hd.astype(jnp.float32), msd.astype(jnp.float32)

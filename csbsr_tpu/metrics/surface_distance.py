@@ -53,7 +53,14 @@ _ENCODE_KERNEL = np.array([[8, 4], [2, 1]], dtype=np.uint8)
 
 
 def _borders_and_areas(mask: np.ndarray, table: np.ndarray):
-    code = ndimage.correlate(mask.astype(np.uint8), _ENCODE_KERNEL, mode="constant", cval=0)
+    # Zero-pad one row/col at the bottom/right before computing codes: scipy's
+    # even-kernel correlate centers at index 1 (window rows (i-1, i)), so the
+    # padded grid covers the transition windows just past an edge-touching
+    # object - the DeepMind package's explicit zero-padded crop
+    # (surface_distance.py:97-119). Without this, masks touching the image's
+    # bottom/right edge lose their border elements there.
+    m = np.pad(mask.astype(np.uint8), ((0, 1), (0, 1)))
+    code = ndimage.correlate(m, _ENCODE_KERNEL, mode="constant", cval=0)
     borders = (code != 0) & (code != 0b1111)
     areas = table[code]
     return borders, areas

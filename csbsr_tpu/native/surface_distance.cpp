@@ -112,22 +112,26 @@ struct SurfKit {
 };
 
 void build_surface(const uint8_t* m, int h, int w, const double* table, SurfKit& kit) {
-  kit.border.assign(h * w, 0);
-  kit.area.assign(h * w, 0.0);
+  // Code grid is (h+1) x (w+1): window (y-1..y, x-1..x) for y in 0..h - the
+  // extra row/col covers the transition windows just past objects touching
+  // the bottom/right image edge (the DeepMind package's zero-padded crop).
+  const int gh = h + 1, gw = w + 1;
+  kit.border.assign(gh * gw, 0);
+  kit.area.assign(gh * gw, 0.0);
   kit.any = false;
-  for (int y = 0; y < h; ++y) {
-    for (int x = 0; x < w; ++x) {
+  for (int y = 0; y < gh; ++y) {
+    for (int x = 0; x < gw; ++x) {
       int code = neighbour_code(m, h, w, y, x);
       if (code != 0 && code != 15) {
-        kit.border[y * w + x] = 1;
+        kit.border[y * gw + x] = 1;
         kit.any = true;
       }
-      kit.area[y * w + x] = table[code];
+      kit.area[y * gw + x] = table[code];
     }
   }
-  kit.dist.assign(h * w, kInf);
+  kit.dist.assign(gh * gw, kInf);
   if (kit.any) {
-    edt_2d(kit.border.data(), h, w, kit.dist.data());
+    edt_2d(kit.border.data(), gh, gw, kit.dist.data());
     for (auto& d : kit.dist) d = std::sqrt(d);
   }
 }
@@ -161,7 +165,7 @@ void metrics_pair(const uint8_t* gt, const uint8_t* pred, int h, int w,
     out.clear();
     area_sum = 0.0;
     weighted_sum = 0.0;
-    for (int i = 0; i < h * w; ++i) {
+    for (int i = 0; i < (h + 1) * (w + 1); ++i) {
       if (own.border[i]) {
         double a = own.area[i];
         double d = other.dist[i];

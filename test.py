@@ -27,6 +27,11 @@ def parse_args():
     p.add_argument("--test_aiu", action="store_true", default=True)
     p.add_argument("--no_test_aiu", dest="test_aiu", action="store_false")
     p.add_argument("--test_surface_distance", action="store_true")
+    p.add_argument(
+        "--surface_distance_host", action="store_true",
+        help="score HD/MSD with the host (scipy/C++) oracle instead of the "
+             "device-batched implementation",
+    )
     p.add_argument("--test_classification_metrics", action="store_true")
     # reference polarity (test.py:97): images are saved BY DEFAULT; passing
     # the flag turns saving off.
@@ -35,6 +40,11 @@ def parse_args():
         help="If you do not want the output images to be saved, pass this flag.",
     )
     p.add_argument("--tti_crack_dataset", action="store_true")
+    # the reference defaults wandb ON in test.py (`test.py:101`); this
+    # environment has no network, so it is opt-in here - metrics.jsonl and
+    # the plot pngs carry the same content either way
+    p.add_argument("--wandb_flag", action="store_true")
+    p.add_argument("--wandb_prj_name", type=str, default="CSBSR_test")
     p.add_argument("--test_blured_name", type=str, default="")
     # reference-parity knobs (test.py:91-92,98): batch_size bounds the
     # patches per device call; num_workers is accepted for CLI parity
@@ -116,8 +126,11 @@ def main():
         output_dir=output_dirname,
         test_aiu=args.test_aiu,
         test_surface_distance=args.test_surface_distance,
+        surface_distance_device=not args.surface_distance_host,
         test_classification_metrics=args.test_classification_metrics,
         save_images=args.sf_save_image,
+        wandb_flag=args.wandb_flag,
+        wandb_project=args.wandb_prj_name,
     )
     print(summary)
 
