@@ -115,7 +115,8 @@ def make_optimizer(cfg, pc: PhaseConfig) -> optax.GradientTransformation:
         return lr
 
     if cfg.MODEL.OPTIMIZER == "Adam":
-        return optax.adam(schedule)
+        mu_dtype = jnp.dtype(cfg.TPU.OPT_MU_DTYPE)
+        return optax.adam(schedule, mu_dtype=mu_dtype)
     if cfg.MODEL.OPTIMIZER == "SGD":
         return optax.sgd(schedule)
     raise NotImplementedError(cfg.MODEL.OPTIMIZER)

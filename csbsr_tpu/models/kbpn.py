@@ -318,6 +318,9 @@ class KBPNDownBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if isinstance(x, (tuple, list)):
+            # concat-inside (see KBlock): residuals stay the per-stage h's
+            x = x[0] if len(x) == 1 else jnp.concatenate(x, axis=-1)
         cb = lambda ch, ks, st, pd, name, bias=False: ConvBlock(
             ch, ks, st, pd, use_bias=bias, activation="prelu", norm=None,
             prelu_init=0.01, dtype=self.dtype, name=name,
@@ -412,7 +415,13 @@ class KBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, concat_h, h, input_lr, kernel_vec, use_gt_kernel, train: bool = False):
+    def __call__(self, hs, input_lr, kernel_vec, use_gt_kernel, train: bool = False):
+        # `hs` is the tuple of per-stage HR tensors; the dense concat happens
+        # INSIDE the (possibly rematted) block so the checkpoint residuals are
+        # the individual h buffers (shared across stages), not per-stage
+        # concat copies - at B=32 224^2 that is ~4 GB of HBM residuals saved.
+        h = hs[-1]
+        concat_h = hs[0] if len(hs) == 1 else jnp.concatenate(hs, axis=-1)
         sr_t = ConvBlock(
             3, 3, 1, 1, activation=None, norm=None, dtype=self.dtype, name="sr_reconst"
         )(concat_h, train)
@@ -448,6 +457,18 @@ class KBlock(nn.Module):
             self.num_filter, 3, 1, 1, activation=None, norm=None, dtype=self.dtype, name="conv"
         )(error.astype(self.dtype), train)
         return h, error_feat, vec
+
+
+class ConcatConvBlock(ConvBlock):
+    """ConvBlock over jnp.concatenate(xs, -1) with the concat INSIDE the
+    module, so under nn.remat the checkpoint residuals are the individual
+    stage tensors (one shared buffer each), not a materialised concat copy.
+    Param paths are identical to ConvBlock (delegates to its compact body).
+    """
+
+    def __call__(self, xs, train: bool = False):
+        x = xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=-1)
+        return super().__call__(x, train)
 
 
 class KBPN(nn.Module):
@@ -490,7 +511,8 @@ class KBPN(nn.Module):
         UpCls = nn.remat(KBPNUpBlock, static_argnums=(2,)) if self.remat else KBPNUpBlock
         DownCls = nn.remat(KBPNDownBlock, static_argnums=(2,)) if self.remat else KBPNDownBlock
         remat_kb = self.remat and self.remat_scope == "full"
-        KBCls = nn.remat(KBlock, static_argnums=(6,)) if remat_kb else KBlock
+        KBCls = nn.remat(KBlock, static_argnums=(5,)) if remat_kb else KBlock
+        OutCls = nn.remat(ConcatConvBlock, static_argnums=(2,)) if self.remat else ConcatConvBlock
 
         init_f = VGGFeat(dtype=self.dtype, name="feat")(x)
 
@@ -518,14 +540,13 @@ class KBPN(nn.Module):
         )
 
         low = init_f
-        concat_h = None
+        hs = []  # per-stage HR outputs; dense concats happen inside consumers
         concat_l = None
         for stage in range(1, self.num_stages + 1):
             final = stage == self.num_stages
             h = mk_up(stage, f"stage{stage}_up")(low, train)
-            pre_concat_h = h if concat_h is None else jnp.concatenate([concat_h, h], axis=-1)
             kb_out = mk_kb(stage, f"stage{stage}_kb")(
-                pre_concat_h, h, x, kernel_vec, use_gt_kernel, train
+                tuple(hs) + (h,), x, kernel_vec, use_gt_kernel, train
             )
             if self.sum_lr_error_pos == "LR":
                 # LR mode (kbpn.py:176-186): the back-projected error joins
@@ -534,9 +555,9 @@ class KBPN(nn.Module):
             else:
                 h, kernel_vec = kb_out
                 error_feat = None
-            concat_h = h if concat_h is None else jnp.concatenate([concat_h, h], axis=-1)
+            hs.append(h)
             if not final:
-                low = mk_down(f"stage{stage}_down")(concat_h, train)
+                low = mk_down(f"stage{stage}_down")(tuple(hs), train)
                 if error_feat is not None:
                     low = low + error_feat
                 concat_l = low if concat_l is None else jnp.concatenate([concat_l, low], axis=-1)
@@ -547,10 +568,10 @@ class KBPN(nn.Module):
                 else:
                     low = concat_l
 
-        sr = ConvBlock(
+        sr = OutCls(
             self.num_channels, 3, 1, 1, activation=None, norm=None,
             dtype=self.dtype, name="output_conv",
-        )(concat_h, train)
+        )(tuple(hs), train)
 
         if self.residual_learning:
             h_out = x.shape[1] * self.scale_factor
