@@ -28,7 +28,15 @@ class IterationBasedLoader:
         start_iter: int = 0,
         num_workers: int = 8,
         prefetch: int = 2,
+        process_id: int = 0,
+        process_count: int = 1,
     ):
+        """batch_size is the GLOBAL batch. With process_count > 1 every
+        process draws the same seeded index stream and materialises only its
+        contiguous batch_size/process_count slice - the per-host feed that
+        parallel.shard_batch assembles into one global array (the TPU-native
+        replacement for a distributed sampler, SURVEY.md 2.9)."""
+        assert batch_size % process_count == 0, (batch_size, process_count)
         self.dataset = dataset
         self.batch_size = batch_size
         self.num_iterations = num_iterations
@@ -36,6 +44,8 @@ class IterationBasedLoader:
         self.seed = seed
         self.num_workers = num_workers
         self.prefetch = prefetch
+        self.process_id = process_id
+        self.process_count = process_count
 
     def _index_stream(self) -> Iterator[np.ndarray]:
         n = len(self.dataset)
@@ -58,6 +68,9 @@ class IterationBasedLoader:
 
         def make_batch(args):
             idxs, it = args
+            if self.process_count > 1:
+                per = self.batch_size // self.process_count
+                idxs = idxs[self.process_id * per : (self.process_id + 1) * per]
             rngs = [np.random.RandomState(hash((self.seed, it, int(i))) % (2**31)) for i in idxs]
             samples = [self.dataset.get(int(i), r) for i, r in zip(idxs, rngs)]
             cols = list(zip(*samples))

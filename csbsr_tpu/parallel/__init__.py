@@ -1,1 +1,8 @@
-from .mesh import make_mesh, batch_sharding, replicated, shard_batch
+from .mesh import (
+    batch_sharding,
+    init_distributed,
+    make_mesh,
+    replicate_state,
+    replicated,
+    shard_batch,
+)

@@ -45,6 +45,56 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host (DCN) initialization hook (SURVEY.md 2.9).
+
+    The reference has no multi-node story at all (single-process
+    DataParallel); the TPU-native design needs only this: after
+    `jax.distributed.initialize`, `jax.devices()` is the global device set,
+    the same `make_mesh` spans all hosts, and GSPMD routes the gradient/BN
+    psums over ICI within a slice and DCN across slices. On Cloud TPU all
+    three arguments are auto-detected from the environment; on CPU/GPU
+    clusters pass them explicitly (tests drive a 2-process CPU cluster).
+    Must be called before any other jax API touches a backend.
+    """
+    kwargs = {}
+    if coordinator_address:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+
+
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    """Host batch -> batch-sharded global arrays.
+
+    Single-process: a plain device_put. Multi-process: each host feeds ONLY
+    its local shard of the global batch (the loader's process_id/
+    process_count slicing) and the shards are assembled into one global
+    jax.Array per leaf - the jax equivalent of a per-host distributed
+    sampler feeding DistributedDataParallel.
+    """
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return multihost_utils.host_local_array_to_global_array(
+            {k: np.asarray(v) for k, v in batch.items()}, mesh, P("data")
+        )
     sh = batch_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate_state(tree, mesh: Mesh):
+    """Replicate a host-identical pytree (train state) over a possibly
+    multi-host mesh. Each process must hold the same values (same seed =>
+    same init), which is exactly the DDP broadcast contract."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        arrays = jax.tree_util.tree_map(np.asarray, jax.device_get(tree))
+        return multihost_utils.host_local_array_to_global_array(arrays, mesh, P())
+    return jax.device_put(tree, replicated(mesh))

@@ -31,6 +31,13 @@ def parse_args():
                    help="cap eval batches (0 = full eval split, reference behavior)")
     p.add_argument("--debug", action="store_true")
     p.add_argument("--synthetic", action="store_true", help="force synthetic data")
+    # multi-host (DCN): initialise the jax distributed runtime before any
+    # backend use; on Cloud TPU the coordinator/process args auto-detect
+    p.add_argument("--distributed", action="store_true",
+                   help="call jax.distributed.initialize (multi-host DCN)")
+    p.add_argument("--coordinator_address", type=str, default=None)
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     p.add_argument("--wandb_flag", action="store_true", help="enable wandb logging")
     p.add_argument("--wandb_prj_name", type=str, default="CSBSR-TPU")
     p.add_argument("opts", default=None, nargs=argparse.REMAINDER)
@@ -93,6 +100,11 @@ def main():
         with open(os.path.join(cfg.OUTPUT_DIR, "config.yaml"), "w") as f:
             f.write(cfg.dump())
 
+    if args.distributed:
+        from csbsr_tpu.parallel import init_distributed
+
+        init_distributed(args.coordinator_address, args.num_processes, args.process_id)
+
     import jax
     import jax.numpy as jnp
     from csbsr_tpu.data import IterationBasedLoader
@@ -113,6 +125,7 @@ def main():
     train_loader = IterationBasedLoader(
         train_ds, cfg.SOLVER.BATCH_SIZE, cfg.SOLVER.MAX_ITER - args.resume_iter,
         seed=cfg.SEED, start_iter=args.resume_iter, num_workers=args.num_workers,
+        process_id=jax.process_index(), process_count=jax.process_count(),
     )
 
     # eval batches: the full eval split, kept as host numpy; degradation runs
