@@ -696,3 +696,102 @@ class SegFixHRNet(nn.Module):
         mask_map = head(feats, 2, "mask_head")
         dir_map = head(feats, self.num_directions, "dir_head")
         return mask_map, dir_map
+
+
+# ----------------------------------------------------- SegFix refinement
+
+
+def direction_offsets(num_directions: int = 8, scale: float = 1.0) -> jnp.ndarray:
+    """(num_directions, 2) integer-ish (dy, dx) steps, one per direction
+    class: angle k*360/num -> (sin, cos) rounded to the unit grid step (the
+    openseg DTOffsetHelper.label_to_vector convention; its offset_helper
+    module is not vendored in the reference, so the mapping is derived from
+    the angle formula). For num=8: (0,1),(1,1),(1,0),(1,-1),(0,-1),(-1,-1),
+    (-1,0),(-1,1)."""
+    import numpy as np
+
+    ang = np.arange(num_directions) * (2.0 * np.pi / num_directions)
+    dy = np.round(np.sin(ang))
+    dx = np.round(np.cos(ang))
+    return jnp.asarray(np.stack([dy, dx], axis=-1) * scale, jnp.float32)
+
+
+def segfix_refine(seg_label, mask_logits, dir_logits, *, iterations: int = 1,
+                  mask_threshold: float = 0.5):
+    """The SegFix offset refinement (openseg `scripts/segfix.py` procedure,
+    consuming the SegFix_HRNet heads of `nets/segfix.py:77-89`): pixels the
+    boundary-mask head flags are re-labelled from the pixel one direction
+    step toward the object interior, as predicted by the direction head.
+    Iterating pushes labels a few pixels in from the boundary.
+
+    seg_label: (B, H, W) int class map (or (B,H,W,1));
+    mask_logits: (B, H, W, 2) boundary-vs-interior head output;
+    dir_logits: (B, H, W, D) direction head output.
+    Returns the refined (B, H, W) label map. Pure/jittable.
+    """
+    if seg_label.ndim == 4:
+        seg_label = seg_label[..., 0]
+    b, h, w = seg_label.shape
+    if mask_logits.shape[1:3] != (h, w):
+        mask_logits = resize(mask_logits, (h, w), method="bilinear", align_corners=True)
+    if dir_logits.shape[1:3] != (h, w):
+        dir_logits = resize(dir_logits, (h, w), method="bilinear", align_corners=True)
+    boundary = jax.nn.softmax(mask_logits, axis=-1)[..., 1] > mask_threshold
+    dir_idx = jnp.argmax(dir_logits, axis=-1)  # (B, H, W)
+    offs = direction_offsets(dir_logits.shape[-1])  # (D, 2)
+    step = offs[dir_idx]  # (B, H, W, 2)
+
+    ys0 = jnp.arange(h)[None, :, None]
+    xs0 = jnp.arange(w)[None, None, :]
+    bidx = jnp.arange(b).reshape(b, 1, 1)
+
+    label = seg_label
+    for _ in range(iterations):
+        yi = jnp.clip(ys0 + step[..., 0].astype(jnp.int32), 0, h - 1)
+        xi = jnp.clip(xs0 + step[..., 1].astype(jnp.int32), 0, w - 1)
+        moved = label[bidx, yi, xi]
+        label = jnp.where(boundary, moved, label)
+    return label
+
+
+# ------------------------------------------------- model manager (registry)
+
+# mirrors `hrnet_ocr/model_manager.py:44-73` SEG_MODEL_DICT; every entry is
+# constructible by name with (num_classes=..., dtype=...).
+SEG_MODEL_DICT = {
+    "segfix_hrnet": SegFixHRNet,
+    "base_ocnet": BaseOCNet,
+    "asp_ocnet": AspOCNet,
+    "isanet": ISANet,
+    "spatial_ocrnet": SpatialOCRNet,
+    "spatial_asp_ocrnet": ASPOCRNet,
+    "ideal_spatial_ocrnet": IdealSpatialOCRNet,
+    "ideal_spatial_ocrnet_b": IdealSpatialOCRNetB,
+    "ideal_spatial_ocrnet_c": IdealSpatialOCRNetC,
+    "ideal_gather_ocrnet": IdealGatherOCRNet,
+    "ideal_distribute_ocrnet": IdealDistributeOCRNet,
+    "ce2p_ocrnet": CE2POCRNet,
+    "fcnet": FcnNet,
+}
+
+
+def semantic_segmentor(model_name: str, **kwargs):
+    """ModelManager.semantic_segmentor (`model_manager.py:76-88`): construct
+    an openseg net by its registry name.
+
+    'hrnet_w48_ocr' resolves to the CSBSR-integrated HRNetW48OCR
+    (models/hrnet_ocr.py) - the one entry of the reference dict that CSBSR
+    actually imports.
+    """
+    if model_name == "hrnet_w48_ocr":
+        from .hrnet_ocr import HRNetW48OCR
+
+        return HRNetW48OCR(**kwargs)
+    if model_name not in SEG_MODEL_DICT:
+        raise KeyError(
+            f"Model: {model_name} not valid! options: "
+            f"{sorted(SEG_MODEL_DICT) + ['hrnet_w48_ocr']}"
+        )
+    if model_name == "segfix_hrnet":
+        kwargs.pop("num_classes", None)  # SegFix has mask+dir heads instead
+    return SEG_MODEL_DICT[model_name](**kwargs)

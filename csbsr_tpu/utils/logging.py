@@ -28,6 +28,11 @@ class MetricsLogger:
             except Exception:
                 self._wandb = None
 
+    @property
+    def wandb_run(self):
+        """The live wandb module when logging is enabled, else None."""
+        return self._wandb
+
     def log(self, metrics: Dict, step: Optional[int] = None):
         rec = {"ts": time.time(), **({"step": step} if step is not None else {}), **metrics}
         self._fh.write(json.dumps(rec) + "\n")

@@ -62,6 +62,17 @@ def test_inference_for_ss_end_to_end(fixture_dirs, tmp_path):
     assert os.path.isfile(os.path.join(out_dir, "iou_log.csv"))
     assert os.path.isdir(os.path.join(out_dir, "masks", "th_0.50"))
     assert os.path.isdir(os.path.join(out_dir, "images"))
+    # observability artifacts (reference inference.py:148-207 parity):
+    # per-image metric rows + threshold-curve plots
+    import json
+
+    rows = [json.loads(l) for l in open(os.path.join(out_dir, "metrics.jsonl"))]
+    per_img = [r for r in rows if "PSNR_score" in r]
+    assert len(per_img) == len(ds)
+    assert all("HD95_scores" in r for r in per_img)
+    assert any("PSNR_mean" in r and "HD95_score_median" in r for r in rows)
+    for png in ("IoU", "HD95", "HD95_median", "MSD", "MSD_median"):
+        assert os.path.isfile(os.path.join(out_dir, f"{png}_vs_threshold.png")), png
 
 
 @pytest.fixture(scope="module")

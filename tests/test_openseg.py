@@ -92,3 +92,65 @@ def test_offset_sample_identity_and_shift(rng):
     out = np.asarray(offset_sample(x, off))
     np.testing.assert_allclose(out[:, :, :-1], np.asarray(x)[:, :, 1:], atol=1e-6)
     np.testing.assert_allclose(out[:, :, -1], np.asarray(x)[:, :, -1], atol=1e-6)
+
+
+def test_model_manager_registry():
+    """model_manager.py:44-88 parity: every name constructs the right class."""
+    from csbsr_tpu.models.openseg import SEG_MODEL_DICT, semantic_segmentor
+    from csbsr_tpu.models.hrnet_ocr import HRNetW48OCR
+
+    for name, cls in SEG_MODEL_DICT.items():
+        m = semantic_segmentor(name, num_classes=3)
+        assert isinstance(m, cls), name
+    assert isinstance(semantic_segmentor("hrnet_w48_ocr", num_classes=1), HRNetW48OCR)
+    with pytest.raises(KeyError):
+        semantic_segmentor("not_a_net")
+
+
+def test_direction_offsets_eight():
+    from csbsr_tpu.models.openseg import direction_offsets
+
+    offs = np.asarray(direction_offsets(8))
+    expected = [(0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1), (-1, 0), (-1, 1)]
+    np.testing.assert_array_equal(offs, np.asarray(expected, np.float32))
+
+
+def test_segfix_refine_moves_boundary_labels():
+    """The offset refinement relabels boundary pixels from their
+    direction-step neighbour (openseg scripts/segfix.py procedure)."""
+    from csbsr_tpu.models.openseg import segfix_refine
+
+    h = w = 8
+    # label map: left half class 0, right half class 1, with a one-pixel
+    # mislabelled boundary column at x=4 (class 0 leaking right)
+    label = np.zeros((1, h, w), np.int32)
+    label[:, :, 5:] = 1
+    label[:, :, 4] = 0  # boundary column, ambiguous
+    # boundary mask: flags column 4
+    mask_logits = np.zeros((1, h, w, 2), np.float32)
+    mask_logits[..., 4, 1] = 10.0  # boundary prob ~1 at x=4
+    # direction head: points right (+x) everywhere => boundary pixels take
+    # the label of their right neighbour (class 1)
+    dir_logits = np.zeros((1, h, w, 8), np.float32)
+    dir_logits[..., 0] = 10.0  # direction 0 = (dy, dx) = (0, 1)
+    out = np.asarray(segfix_refine(
+        jnp.asarray(label), jnp.asarray(mask_logits), jnp.asarray(dir_logits)))
+    assert (out[:, :, 4] == 1).all()          # boundary relabelled
+    np.testing.assert_array_equal(out[:, :, :4], label[:, :, :4])  # interior kept
+    np.testing.assert_array_equal(out[:, :, 5:], label[:, :, 5:])
+
+    # pointing left instead keeps class 0 at the boundary
+    dir_logits[..., 0] = 0.0
+    dir_logits[..., 4] = 10.0  # direction 4 = (0, -1)
+    out = np.asarray(segfix_refine(
+        jnp.asarray(label), jnp.asarray(mask_logits), jnp.asarray(dir_logits)))
+    assert (out[:, :, 4] == 0).all()
+
+    # two iterations propagate one step further through a 2-px boundary band
+    mask_logits[..., 3, 1] = 10.0
+    dir_logits[..., 4] = 0.0
+    dir_logits[..., 0] = 10.0
+    out = np.asarray(segfix_refine(
+        jnp.asarray(label), jnp.asarray(mask_logits), jnp.asarray(dir_logits),
+        iterations=2))
+    assert (out[:, :, 3] == 1).all() and (out[:, :, 4] == 1).all()
