@@ -33,6 +33,8 @@ def main():
     p.add_argument("--pth", required=True, help="released iteration_N.pth")
     p.add_argument("--out", required=True, help="output test_dir for test.py")
     p.add_argument("--iter", type=int, default=0, help="iteration tag (default: parsed from filename)")
+    p.add_argument("opts", default=None, nargs=argparse.REMAINDER,
+                   help="yacs KEY VALUE overrides (e.g. INPUT.IMAGE_SIZE [96,96])")
     args = p.parse_args()
 
     import jax
@@ -53,6 +55,8 @@ def main():
 
     cfg = get_cfg_defaults()
     cfg.merge_from_file(args.config)
+    if args.opts:
+        cfg.merge_from_list(args.opts)
     cfg.freeze()
 
     model = model_from_cfg(cfg)
