@@ -253,14 +253,18 @@ def inference_tti(
 
     for i in range(len(dataset)):
         patches, fname, img_ushape, seg_ushape = dataset.get(i)
-        srs, segs = [], []
+        srs, segs, k2ds = [], [], []
         for s in range(0, patches.shape[0], max_patches_per_call):
-            sr_p, seg_p, _ = infer(jnp.asarray(patches[s : s + max_patches_per_call]))
+            sr_p, seg_p, k2d = infer(jnp.asarray(patches[s : s + max_patches_per_call]))
             srs.append(np.asarray(sr_p))
             segs.append(np.asarray(seg_p))
+            k2ds.append(np.asarray(k2d))
         sr_pred = joint_patch(jnp.asarray(np.concatenate(srs)), img_ushape)
         seg_pred = joint_patch(jnp.asarray(np.concatenate(segs)), seg_ushape)
         save_img(output_dir, np.clip(np.asarray(sr_pred), 0, 1), [fname])
+        if cfg.MODEL.SR == "KBPN":
+            # predicted-kernel dump (`inference.py:259-260`)
+            save_kernel(output_dir, np.concatenate(k2ds)[:1], [fname])
         seg_np = np.asarray(seg_pred)
         for idx in save_idx:
             save_mask(output_dir, (seg_np > thresholds[idx]).astype(np.float32), [fname], thresholds[idx])

@@ -152,6 +152,9 @@ def test_tti_inference_end_to_end(retinal_fixture_dirs, tmp_path):
     inference_tti(cfg, model, variables, ds, output_dir=out_dir, log_fn=lambda *a: None)
     assert os.path.isdir(os.path.join(out_dir, "images"))
     assert os.path.isdir(os.path.join(out_dir, "masks", "th_0.50"))
+    # KBPN kernel dumps (`inference.py:259-260` parity)
+    assert os.path.isdir(os.path.join(out_dir, "kernels_max"))
+    assert os.path.isdir(os.path.join(out_dir, "kernels_sum"))
 
 
 def test_chop_forward_matches_direct(rng):
