@@ -120,6 +120,7 @@ _C.TPU.COMPUTE_DTYPE = "bfloat16"  # conv/matmul compute dtype
 _C.TPU.PARAM_DTYPE = "float32"
 _C.TPU.REMAT = False  # jax.checkpoint the SR stages
 _C.TPU.REMAT_SCOPE = "full"  # 'full' | 'updown' (keep KBlock activations)
+_C.TPU.REMAT_SEG = False  # jax.checkpoint the segmentation head too
 # Adam first-moment dtype; 'bfloat16' halves the m buffer (the reference
 # keeps full f32 torch.optim state). Second moment stays f32 (it needs the
 # exponent range near zero).

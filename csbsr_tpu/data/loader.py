@@ -42,7 +42,9 @@ class IterationBasedLoader:
         self.num_iterations = num_iterations
         self.start_iter = start_iter
         self.seed = seed
-        self.num_workers = num_workers
+        # torch's num_workers=0 means "load in the main process"; the
+        # thread-pool equivalent is a single worker
+        self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.process_id = process_id
         self.process_count = process_count

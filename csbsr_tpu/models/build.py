@@ -71,6 +71,7 @@ class CSBSRModel(nn.Module):
     sr_only: bool = False  # SR pretraining (SRModelWithLoss, build_model.py:535-562)
     remat: bool = False
     remat_scope: str = "full"  # 'full' | 'updown' (KBPN selective remat)
+    remat_seg: bool = False  # jax.checkpoint the whole segmentation head
     dtype: Any = jnp.float32
 
     def _build_sr(self):
@@ -98,33 +99,38 @@ class CSBSRModel(nn.Module):
         raise NotImplementedError(self.sr)
 
     def _build_seg(self):
+        # remat_seg: checkpoint the whole head - its call signature is
+        # (x[, cond], train), so `train` is the last (static) argument
+        def R(cls, n_args):
+            return nn.remat(cls, static_argnums=(n_args,)) if self.remat_seg else cls
+
         if self.detector == "u-net16":
-            return UNet16(num_classes=self.num_classes,
-                          up_sampling_method=self.up_sample_method,
-                          dtype=self.dtype, name="segmentation_model")
+            return R(UNet16, 2)(num_classes=self.num_classes,
+                                up_sampling_method=self.up_sample_method,
+                                dtype=self.dtype, name="segmentation_model")
         if self.detector == "PSPNet":
-            return PSPNet(n_classes=self.num_classes, backend=self.pspnet_backend,
-                          dtype=self.dtype, name="segmentation_model")
+            return R(PSPNet, 2)(n_classes=self.num_classes, backend=self.pspnet_backend,
+                                dtype=self.dtype, name="segmentation_model")
         if self.detector in ("PSPNet_BlurSkip", "PSPNet_BlurSkip_origin"):
-            return PSPNetBlurSkip(
+            return R(PSPNetBlurSkip, 3)(
                 n_classes=self.num_classes,
                 modify_blur_skip=(self.detector == "PSPNet_BlurSkip"),
                 dtype=self.dtype, name="segmentation_model",
             )
         if self.detector == "PSPNet_BlurSkipReduct":
-            return PSPNetBlurSkip(n_classes=self.num_classes, dtype=self.dtype,
-                                  name="segmentation_model")
+            return R(PSPNetBlurSkip, 3)(n_classes=self.num_classes, dtype=self.dtype,
+                                        name="segmentation_model")
         if self.detector == "SegNet":
-            return SegNet(dtype=self.dtype, name="segmentation_model")
+            return R(SegNet, 2)(dtype=self.dtype, name="segmentation_model")
         if self.detector == "HRNet_OCR":
             from .hrnet_ocr import HRNetW48OCR
 
-            return HRNetW48OCR(num_classes=self.num_classes, dtype=self.dtype,
-                               name="segmentation_model")
+            return R(HRNetW48OCR, 2)(num_classes=self.num_classes, dtype=self.dtype,
+                                     name="segmentation_model")
         if self.detector == "CrackFormer":
             from .crackformer import CrackFormer
 
-            return CrackFormer(dtype=self.dtype, name="segmentation_model")
+            return R(CrackFormer, 2)(dtype=self.dtype, name="segmentation_model")
         raise NotImplementedError(self.detector)
 
     def _forward_sr(self, x, kernel_gt_vec, use_gt_kernel, sr_targets, train):
@@ -243,5 +249,6 @@ def model_from_cfg(cfg, dtype=None) -> CSBSRModel:
         sr_only=bool(cfg.DATASET.ONLY_IMAGES),
         remat=bool(cfg.TPU.REMAT),
         remat_scope=str(cfg.TPU.REMAT_SCOPE),
+        remat_seg=bool(cfg.TPU.REMAT_SEG),
         dtype=dtype,
     )

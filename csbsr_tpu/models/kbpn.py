@@ -28,7 +28,10 @@ from .blocks import (
     ConvBlock,
     DeconvBlock,
     ConvAndPixelShuffleBlock,
+    _apply_norm,
+    _init_for_activation,
     kaiming_normal_leaky,
+    make_activation,
     xavier_normal,
 )
 from ..ops.resize import resize
@@ -318,14 +321,16 @@ class KBPNDownBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        if isinstance(x, (tuple, list)):
-            # concat-inside (see KBlock): residuals stay the per-stage h's
-            x = x[0] if len(x) == 1 else jnp.concatenate(x, axis=-1)
         cb = lambda ch, ks, st, pd, name, bias=False: ConvBlock(
             ch, ks, st, pd, use_bias=bias, activation="prelu", norm=None,
             prelu_init=0.01, dtype=self.dtype, name=name,
         )
-        x = cb(self.num_filter, 1, 1, 0, "conv", bias=True)(x, train)
+        # the 1x1 stage-merge conv runs on the per-stage slices directly
+        # (see ConcatConvBlock): no concat materialisation
+        x = ConcatConvBlock(
+            self.num_filter, 1, 1, 0, use_bias=True, activation="prelu",
+            norm=None, prelu_init=0.01, dtype=self.dtype, name="conv",
+        )(x, train)
         l0 = cb(self.num_filter, self.kernel_size, self.stride, self.padding, "down_conv1")(x, train)
         if self.pixel_shuffle:
             h0 = ConvAndPixelShuffleBlock(
@@ -416,15 +421,15 @@ class KBlock(nn.Module):
 
     @nn.compact
     def __call__(self, hs, input_lr, kernel_vec, use_gt_kernel, train: bool = False):
-        # `hs` is the tuple of per-stage HR tensors; the dense concat happens
-        # INSIDE the (possibly rematted) block so the checkpoint residuals are
-        # the individual h buffers (shared across stages), not per-stage
-        # concat copies - at B=32 224^2 that is ~4 GB of HBM residuals saved.
+        # `hs` is the tuple of per-stage HR tensors; the dense-concat conv is
+        # evaluated as a sum of per-slice convs (ConcatConvBlock), so neither
+        # the checkpoint residuals nor the backward replay ever materialise a
+        # (B, 224, 224, stage*128) concat - those temps were the binding HBM
+        # allocations of the full train step.
         h = hs[-1]
-        concat_h = hs[0] if len(hs) == 1 else jnp.concatenate(hs, axis=-1)
-        sr_t = ConvBlock(
+        sr_t = ConcatConvBlock(
             3, 3, 1, 1, activation=None, norm=None, dtype=self.dtype, name="sr_reconst"
-        )(concat_h, train)
+        )(hs, train)
 
         refined = KernelPredictorLikeIKC(
             self.estimate_ksize, self.ksize_output, self.zero_pad_kernel,
@@ -459,16 +464,80 @@ class KBlock(nn.Module):
         return h, error_feat, vec
 
 
-class ConcatConvBlock(ConvBlock):
-    """ConvBlock over jnp.concatenate(xs, -1) with the concat INSIDE the
-    module, so under nn.remat the checkpoint residuals are the individual
-    stage tensors (one shared buffer each), not a materialised concat copy.
-    Param paths are identical to ConvBlock (delegates to its compact body).
-    """
+class _SplitConv(nn.Module):
+    """nn.Conv-compatible conv over a TUPLE of inputs, evaluated as the sum
+    of per-slice convs: conv(concat(xs), W) == sum_i conv(x_i, W[:, :, c_i]).
+    Param layout identical to flax nn.Conv ((k, k, sum_c, F) 'kernel' +
+    'bias'), so checkpoints/translators are unaffected."""
 
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    use_bias: bool = False
+    kernel_init: Any = nn.initializers.lecun_normal()
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs):
+        ctot = sum(x.shape[-1] for x in xs)
+        kernel = self.param(
+            "kernel", self.kernel_init,
+            (self.kernel_size, self.kernel_size, ctot, self.features),
+        )
+        k = kernel.astype(self.dtype)
+        out = None
+        off = 0
+        for x in xs:
+            c = x.shape[-1]
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), k[:, :, off : off + c],
+                (self.stride, self.stride),
+                [(self.padding, self.padding)] * 2,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            out = y if out is None else out + y
+            off += c
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            out = out + bias.astype(out.dtype)
+        return out
+
+
+class ConcatConvBlock(nn.Module):
+    """ConvBlock semantics over a tuple of inputs WITHOUT materialising
+    their channel concat: the conv runs as a sum of per-slice convs
+    (_SplitConv). This matters under remat - the backward replay of the
+    dense KBPN stages otherwise keeps multi-GB (B, 224, 224, stage*128)
+    concat temps alive simultaneously (they were the binding allocations in
+    the B=48 OOM dump). Param paths identical to ConvBlock
+    (<name>/conv/kernel, optional PReLU_0)."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    use_bias: bool = False
+    activation: Optional[str] = "relu"
+    norm: Optional[str] = "batch"
+    prelu_init: float = 0.01
+    lrelu_slope: float = 0.01
+    dtype: Any = jnp.float32
+
+    @nn.compact
     def __call__(self, xs, train: bool = False):
-        x = xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=-1)
-        return super().__call__(x, train)
+        if not isinstance(xs, (tuple, list)):
+            xs = (xs,)
+        init = _init_for_activation(self.activation)
+        x = _SplitConv(
+            self.features, self.kernel_size, self.stride, self.padding,
+            self.use_bias, init, self.dtype, name="conv",
+        )(xs)
+        x = _apply_norm(self, x, self.norm, train, self.dtype)
+        act = make_activation(self.activation, self.prelu_init, self.lrelu_slope)
+        if act is not None:
+            x = act(self, x)
+        return x
 
 
 class KBPN(nn.Module):

@@ -6,7 +6,8 @@ activations), batch size, Adam mu dtype.  Each timed like bench.py's
 measure_train (chained state dependency, best of 2 runs of 10 steps).
 
 Usage: python tools/train_perf_sweep.py [--variants v1,v2,...]
-  variant syntax: B<batch>-<scope>[-mubf16]   e.g. B32-full, B64-updown-mubf16
+  variant syntax: B<batch>-<scope>[-mubf16][-segremat]
+  e.g. B32-full, B64-updown-mubf16, B96-full-segremat
 """
 from __future__ import annotations
 
@@ -21,7 +22,7 @@ sys.path.insert(0, ".")
 import numpy as np
 
 
-def run_variant(batch: int, scope: str, mu_bf16: bool) -> float:
+def run_variant(batch: int, scope: str, mu_bf16: bool, seg_remat: bool = False) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -35,6 +36,8 @@ def run_variant(batch: int, scope: str, mu_bf16: bool) -> float:
     cfg.TPU.REMAT_SCOPE = scope
     if mu_bf16:
         cfg.TPU.OPT_MU_DTYPE = "bfloat16"
+    if seg_remat:
+        cfg.TPU.REMAT_SEG = True
 
     rng = np.random.RandomState(0)
     model = model_from_cfg(cfg)
@@ -82,9 +85,11 @@ def main():
         batch = int(parts[0][1:])
         scope = parts[1]
         mu_bf16 = "mubf16" in parts[2:]
-        print(f"=== {v}: batch={batch} scope={scope} mu_bf16={mu_bf16}", flush=True)
+        seg_remat = "segremat" in parts[2:]
+        print(f"=== {v}: batch={batch} scope={scope} mu_bf16={mu_bf16} "
+              f"seg_remat={seg_remat}", flush=True)
         try:
-            img_s = run_variant(batch, scope, mu_bf16)
+            img_s = run_variant(batch, scope, mu_bf16, seg_remat)
             results[v] = round(img_s, 2)
             print(f"  -> {img_s:.2f} img/s", flush=True)
         except Exception as e:
