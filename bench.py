@@ -22,6 +22,10 @@ import time
 import numpy as np
 
 PYTORCH_GPU_CLASS_BASELINE_IMG_S = 30.0
+# TPU v5e (v5 lite) bf16 peak: 197 TFLOP/s per chip. (394 is the int8
+# number; our own matmul microbenchmarks top out at ~157-164 TF/s, i.e.
+# 80-84% of the bf16 peak, which confirms 197 as the right denominator.)
+TPU_V5E_BF16_PEAK_FLOPS = 197e12
 
 
 def main():
@@ -71,9 +75,64 @@ def main():
             sr, seg, carry = infer(variables, patches, carry)
         float(carry)  # host sync on the chained dependency
         dt = time.perf_counter() - t0
-        return batch * n_iters / dt
 
-    imgs_per_sec = max(measure(b) for b in (32, 64, 128))
+        # executed FLOPs of the SAME graph we just timed (re-lowering the
+        # identical jit fn + donation set is a persistent-cache hit, not a
+        # fresh remote compile; the carry adds it includes are noise)
+        try:
+            flops = infer.lower(variables, patches, carry).compile().cost_analysis()["flops"]
+        except Exception:
+            flops = None
+
+        sustained = None
+        if batch == 128:
+            # sustained serving at the sweep winner: the iteration loop lives
+            # in one device program (lax.scan), so there is no per-call host
+            # dispatch or transport - the double-buffered/async-serving
+            # ceiling (PERF.md:126-129)
+            @jax.jit
+            def infer_scan(variables, p, carry):
+                def body(c, _):
+                    out = model.apply(
+                        variables, p + c * jnp.float32(1e-12), None, False,
+                        train=False, clip_sr=True,
+                    )
+                    return c + jnp.sum(out["sr"].astype(jnp.float32)), ()
+
+                c, _ = jax.lax.scan(body, carry, None, length=10)
+                return c
+
+            carry = infer_scan(variables, patches, carry)  # compile + warm
+            float(carry)
+
+            def timed_scan():
+                nonlocal carry
+                t0 = time.perf_counter()
+                for _ in range(3):
+                    carry = infer_scan(variables, patches, carry)
+                float(carry)
+                return batch * 30 / (time.perf_counter() - t0)
+
+            # best of 2: the shared tunnel occasionally degrades a window ~2x
+            sustained = max(timed_scan(), timed_scan())
+        return batch * n_iters / dt, sustained, flops
+
+    results = {b: measure(b) for b in (32, 64, 128)}
+    best_b = max(results, key=lambda b: results[b][0])
+    imgs_per_sec = results[best_b][0]
+    # sustained = the lax.scan in-program loop at B=128: the whole
+    # iteration loop lives in one device program, so per-call dispatch and
+    # tunnel transport are out of the picture entirely - the serving-mode
+    # rate (PERF.md round 3: ~1.17x the per-call number). `value` stays the
+    # per-call chained loop for round-over-round comparability.
+    sustained = results[128][1]
+    mfu = None
+    if results[best_b][2]:
+        # executed-FLOP MFU at the best measured serving rate. Caveat
+        # (PERF.md): XLA cost analysis prices transposed convs at their
+        # dilated-input FLOPs, so this overstates useful work somewhat.
+        serving = max(imgs_per_sec, sustained or 0.0)
+        mfu = results[best_b][2] / best_b * serving / TPU_V5E_BF16_PEAK_FLOPS
 
     def measure_train(batch: int = 32) -> float:
         """Full train step (on-device degradation + fwd + bwd + optimizer),
@@ -95,6 +154,13 @@ def main():
         step = jax.jit(build_train_step(tcfg, tmodel, pc, gids), donate_argnums=(0,))
 
         train_batch = {"hr": hr, "seg": seg}
+        # cost analysis from the SAME jit fn + donation set as the timed step
+        # (persistent-cache hit; a fresh undonated jit would be a second
+        # 10-15 min remote compile of the whole train graph)
+        try:
+            tflops = step.lower(state, train_batch, key).compile().cost_analysis()["flops"]
+        except Exception:
+            tflops = None
         state, m = step(state, train_batch, key)  # compile + warm
         float(m["loss"])
 
@@ -108,21 +174,28 @@ def main():
             return batch * n_iters / (time.perf_counter() - t0)
 
         # best of 2: the shared tunnel occasionally degrades a whole run ~2x
-        return max(timed_run(), timed_run())
+        return max(timed_run(), timed_run()), tflops
 
-    train_img_s = measure_train()
-    print(
-        json.dumps(
-            {
-                "metric": "csbsr_pspnet_x4_sr_seg_inference",
-                "value": round(imgs_per_sec, 3),
-                "unit": "images/sec/chip (224x224 outputs)",
-                "vs_baseline": round(imgs_per_sec / PYTORCH_GPU_CLASS_BASELINE_IMG_S, 3),
-                "train_images_per_sec": round(train_img_s, 3),
-                "train_batch": 32,
-            }
+    train_img_s, train_flops = measure_train(32)
+    # B=64 is the HBM sweet spot with full remat (PERF.md round 3)
+    train_img_s_b64, _ = measure_train(64)
+    out = {
+        "metric": "csbsr_pspnet_x4_sr_seg_inference",
+        "value": round(imgs_per_sec, 3),
+        "unit": "images/sec/chip (224x224 outputs)",
+        "vs_baseline": round(imgs_per_sec / PYTORCH_GPU_CLASS_BASELINE_IMG_S, 3),
+        "sustained": round(sustained, 3) if sustained else None,
+        "train_images_per_sec": round(train_img_s, 3),
+        "train_batch": 32,
+        "train_images_per_sec_b64": round(train_img_s_b64, 3),
+    }
+    if mfu is not None:
+        out["mfu"] = round(mfu, 4)
+    if train_flops is not None:
+        out["train_mfu"] = round(
+            train_flops / 32 * train_img_s / TPU_V5E_BF16_PEAK_FLOPS, 4
         )
-    )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
