@@ -27,6 +27,24 @@ from ..ops.patch import joint_patch
 from ..utils.save_output import save_img, save_mask, save_kernel
 
 
+def _prefetched(dataset, depth: int = 2):
+    """Yield dataset.get(i) for i in range(len(dataset)), loading `depth`
+    items ahead on one background thread so host decode/patching overlaps
+    the device's async dispatch (the serving-side analog of the train
+    loader's prefetch; closes the per-image host stall between calls)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    n = len(dataset)
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        futs = [pool.submit(dataset.get, i) for i in range(min(depth, n))]
+        for i in range(n):
+            item = futs.pop(0).result()
+            nxt = i + depth
+            if nxt < n:
+                futs.append(pool.submit(dataset.get, nxt))
+            yield item
+
+
 def build_infer_fn(cfg, model, variables):
     """Jitted patched forward: (patches) -> sr, seg, kernel_2d.
 
@@ -104,8 +122,8 @@ def inference_for_ss(
     # i.e. 0.50 (`inference.py:125-127`)
     cls_th = 0.5
 
-    for i in range(len(dataset)):
-        patches, sr_target, seg_target, kernels, fname, img_ushape, seg_ushape = dataset.get(i)
+    for i, item in enumerate(_prefetched(dataset)):
+        patches, sr_target, seg_target, kernels, fname, img_ushape, seg_ushape = item
         fnames.append(fname)
         sr_p, seg_p, k2d = infer(jnp.asarray(patches))
         sr_pred = joint_patch(sr_p, img_ushape)  # (1, H, W, 3)
@@ -251,8 +269,8 @@ def inference_tti(
     thresholds = np.array([i * 0.01 for i in range(1, 100)], np.float32)
     save_idx = [0] + [9 + i * 10 for i in range(9)] + [98]
 
-    for i in range(len(dataset)):
-        patches, fname, img_ushape, seg_ushape = dataset.get(i)
+    for i, item in enumerate(_prefetched(dataset)):
+        patches, fname, img_ushape, seg_ushape = item
         srs, segs, k2ds = [], [], []
         for s in range(0, patches.shape[0], max_patches_per_call):
             sr_p, seg_p, k2d = infer(jnp.asarray(patches[s : s + max_patches_per_call]))

@@ -90,6 +90,12 @@ def main():
     cfg.OUTPUT_DIR = output_dirname
     cfg.freeze()
 
+    # persistent compile cache: without it every CLI invocation pays the
+    # full remote compile of the inference graphs again (minutes on axon)
+    from csbsr_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import jax
     import orbax.checkpoint as ocp
     from csbsr_tpu.data import CrackDataSetTest, RetinalDataSetTest, TTICrackDataSetTest

@@ -105,6 +105,12 @@ def main():
 
         init_distributed(args.coordinator_address, args.num_processes, args.process_id)
 
+    # persistent compile cache: without it every CLI invocation pays the full
+    # remote compile of the train/eval graphs again (~7-15 min on axon)
+    from csbsr_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import jax
     import jax.numpy as jnp
     from csbsr_tpu.data import IterationBasedLoader
