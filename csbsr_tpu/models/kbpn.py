@@ -50,6 +50,19 @@ import os as _os
 # using the banded/gap-collapse forms (identical math and param layout).
 _DENSE_IKC = _os.environ.get("CSBSR_DENSE_IKC", "0") == "1"
 
+# Consumer-merged narrow convs (default ON). The per-stage sr_reconst and
+# the output conv produce only 3 channels; on the MXU a conv with <=48
+# output channels costs the SAME as one with 3 (lanes pad to 128:
+# 128->3/15/48 all measure ~11 ms at B=128 flagship shapes, PERF.md round
+# 3). So instead of 14 separate 3-channel conv passes (stage j's
+# sr_reconst = j slice convs over h_1..h_j, plus 4 output slices), emit ONE
+# conv per producer h_i whose output channels concatenate every future
+# consumer's slice: conv(h_i, [W_i^(i+1) | ... | W_i^(N) | W_i^(out)]).
+# 14 passes -> 2N passes (one pre-conv on h_j_pre per stage + one merged
+# conv per h_j_post), exact same math, identical param layout.
+# CSBSR_MERGED_SR=0 restores the per-stage form for A/B.
+_MERGED_SR = _os.environ.get("CSBSR_MERGED_SR", "1") == "1"
+
 
 class _ConvParams(nn.Module):
     """Bare conv kernel/bias holder, param-path compatible with ConvBlock's
@@ -420,16 +433,21 @@ class KBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, hs, input_lr, kernel_vec, use_gt_kernel, train: bool = False):
+    def __call__(self, hs, input_lr, kernel_vec, use_gt_kernel, train: bool = False,
+                 sr_t=None):
         # `hs` is the tuple of per-stage HR tensors; the dense-concat conv is
         # evaluated as a sum of per-slice convs (ConcatConvBlock), so neither
         # the checkpoint residuals nor the backward replay ever materialise a
         # (B, 224, 224, stage*128) concat - those temps were the binding HBM
         # allocations of the full train step.
+        # With the merged narrow-conv path (CSBSR_MERGED_SR) sr_t arrives
+        # precomputed by KBPN (its kernel lives at this module's
+        # sr_reconst/conv/kernel path via share_scope) and hs is just (h,).
         h = hs[-1]
-        sr_t = ConcatConvBlock(
-            3, 3, 1, 1, activation=None, norm=None, dtype=self.dtype, name="sr_reconst"
-        )(hs, train)
+        if sr_t is None:
+            sr_t = ConcatConvBlock(
+                3, 3, 1, 1, activation=None, norm=None, dtype=self.dtype, name="sr_reconst"
+            )(hs, train)
 
         refined = KernelPredictorLikeIKC(
             self.estimate_ksize, self.ksize_output, self.zero_pad_kernel,
@@ -462,6 +480,37 @@ class KBlock(nn.Module):
             self.num_filter, 3, 1, 1, activation=None, norm=None, dtype=self.dtype, name="conv"
         )(error.astype(self.dtype), train)
         return h, error_feat, vec
+
+
+class _NestedConvParams(nn.Module):
+    """Kernel-only declaration at <name>/conv/kernel - the exact param path
+    a ConcatConvBlock(name=<name>) would create. Used by the merged
+    narrow-conv path to own the sr_reconst / output_conv kernels at the
+    KBPN level (values are needed before the consuming stage runs)."""
+
+    ctot: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k, _ = _ConvParams(
+            (3, 3, self.ctot, self.features),
+            kernel_init=xavier_normal(1.0),  # _init_for_activation(None)
+            name="conv",
+        )()
+        return k
+
+
+class _SrReconstHolder(nn.Module):
+    """share_scope makes the holder itself transparent (children land
+    directly under the shared KBlock scope), so the 'sr_reconst' level must
+    be an inner module to reproduce stage{j}_kb/sr_reconst/conv/kernel."""
+
+    ctot: int
+
+    @nn.compact
+    def __call__(self):
+        return _NestedConvParams(self.ctot, 3, name="sr_reconst")()
 
 
 class _SplitConv(nn.Module):
@@ -608,15 +657,63 @@ class KBPN(nn.Module):
             self.zero_pad_kernel, dtype=self.dtype, name=name,
         )
 
+        N = self.num_stages
+        md = self.md_ch
+        merged = _MERGED_SR and self.sum_lr_error_pos == "HR"
+        if merged:
+            # narrow-conv merge (see _MERGED_SR above): declare every stage's
+            # KBlock + its sr_reconst kernel (share_scope keeps the param at
+            # stage{j}_kb/sr_reconst/conv/kernel) and the output_conv kernel
+            # up front - weights are trace-time values, so producer h_i's
+            # single merged conv can carry the slices of every future
+            # consumer even though those stages haven't run yet.
+            kb_mods, w_stage = {}, {}
+            for stage in range(1, N + 1):
+                kb_mods[stage] = mk_kb(stage, f"stage{stage}_kb")
+                holder = _SrReconstHolder(stage * md, name=f"_sr_w{stage}")
+                nn.share_scope(holder, kb_mods[stage])
+                w_stage[stage] = holder().astype(self.dtype)
+            w_out = _NestedConvParams(
+                N * md, self.num_channels, name="output_conv"
+            )().astype(self.dtype)
+
+            def conv3(hmap, w):
+                return jax.lax.conv_general_dilated(
+                    hmap.astype(self.dtype), w, (1, 1), [(1, 1)] * 2,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+
+            rm = (lambda f: jax.checkpoint(f)) if self.remat else (lambda f: f)
+
         low = init_f
         hs = []  # per-stage HR outputs; dense concats happen inside consumers
         concat_l = None
-        for stage in range(1, self.num_stages + 1):
-            final = stage == self.num_stages
+        sr_parts = {}  # merged mode: {consumer stage j: [slices from h_1..]}
+        out_parts = []
+        for stage in range(1, N + 1):
+            final = stage == N
             h = mk_up(stage, f"stage{stage}_up")(low, train)
-            kb_out = mk_kb(stage, f"stage{stage}_kb")(
-                tuple(hs) + (h,), x, kernel_vec, use_gt_kernel, train
-            )
+            if merged:
+                # sr_t = sum of cached consumer slices (h_1..h_{stage-1}) +
+                # this stage's own slice of h_pre - same addition order as
+                # the old per-slice accumulation
+                wj = w_stage[stage]
+                pre = rm(conv3)(h, wj[:, :, (stage - 1) * md : stage * md])
+                parts = sr_parts.get(stage, [])
+                if parts:  # ascending h_i order, own slice last = old order
+                    sr_t = parts[0]
+                    for part in parts[1:]:
+                        sr_t = sr_t + part
+                    sr_t = sr_t + pre
+                else:
+                    sr_t = pre
+                kb_out = kb_mods[stage](
+                    (h,), x, kernel_vec, use_gt_kernel, train, sr_t
+                )
+            else:
+                kb_out = mk_kb(stage, f"stage{stage}_kb")(
+                    tuple(hs) + (h,), x, kernel_vec, use_gt_kernel, train
+                )
             if self.sum_lr_error_pos == "LR":
                 # LR mode (kbpn.py:176-186): the back-projected error joins
                 # the LOW features after the DownBlock instead of h
@@ -625,6 +722,18 @@ class KBPN(nn.Module):
                 h, kernel_vec = kb_out
                 error_feat = None
             hs.append(h)
+            if merged:
+                # one conv over h_post for ALL its narrow consumers
+                sl = slice((stage - 1) * md, stage * md)
+                consumers = list(range(stage + 1, N + 1))
+                wcat = jnp.concatenate(
+                    [w_stage[j][:, :, sl] for j in consumers] + [w_out[:, :, sl]],
+                    axis=-1,
+                )
+                m = rm(conv3)(h, wcat)
+                for idx, j in enumerate(consumers):
+                    sr_parts.setdefault(j, []).append(m[..., 3 * idx : 3 * idx + 3])
+                out_parts.append(m[..., 3 * len(consumers) :])
             if not final:
                 low = mk_down(f"stage{stage}_down")(tuple(hs), train)
                 if error_feat is not None:
@@ -637,10 +746,15 @@ class KBPN(nn.Module):
                 else:
                     low = concat_l
 
-        sr = OutCls(
-            self.num_channels, 3, 1, 1, activation=None, norm=None,
-            dtype=self.dtype, name="output_conv",
-        )(tuple(hs), train)
+        if merged:
+            sr = out_parts[0]
+            for p in out_parts[1:]:
+                sr = sr + p
+        else:
+            sr = OutCls(
+                self.num_channels, 3, 1, 1, activation=None, norm=None,
+                dtype=self.dtype, name="output_conv",
+            )(tuple(hs), train)
 
         if self.residual_learning:
             h_out = x.shape[1] * self.scale_factor

@@ -136,3 +136,60 @@ def test_dense_ikc_matches_banded(monkeypatch):
     sr_d, kern_d = m.apply(variables, x, kv, False, train=False)
     np.testing.assert_allclose(np.asarray(kern_d), np.asarray(kern_b), atol=2e-5)
     np.testing.assert_allclose(np.asarray(sr_d), np.asarray(sr_b), atol=2e-4)
+
+
+def test_merged_sr_matches_per_stage(monkeypatch):
+    """CSBSR_MERGED_SR folds the 14 narrow sr_reconst/output_conv passes into
+    one merged conv per producer stage (kbpn.py: _MERGED_SR). Same math on an
+    identical param tree: init trees must match exactly, forward outputs and
+    grads must agree to summation-order noise."""
+    import csbsr_tpu.models.kbpn as kbpn_mod
+    from csbsr_tpu.models.kbpn import KBPN
+
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 16, 16, 3).astype(np.float32))
+
+    def build(merged, **kw):
+        # 2 stages keeps the multi-consumer merge covered (stage1's h feeds
+        # both stage2_kb and output_conv) at half the CPU compile time of
+        # the 3-stage variant; the 3-stage form was validated on-chip.
+        monkeypatch.setattr(kbpn_mod, "_MERGED_SR", merged)
+        return KBPN(scale_factor=4, num_stages=2, estimate_ksize=7,
+                    ksize_output=21, dtype=jnp.float32, **kw)
+
+    m_new = build(True)
+    v_new = m_new.init({"params": jax.random.PRNGKey(0)}, x, None, False, train=False)
+    m_old = build(False)
+    v_old = m_old.init({"params": jax.random.PRNGKey(0)}, x, None, False, train=False)
+
+    pn = {jax.tree_util.keystr(k): v for k, v in
+          jax.tree_util.tree_leaves_with_path(v_new["params"])}
+    po = {jax.tree_util.keystr(k): v for k, v in
+          jax.tree_util.tree_leaves_with_path(v_old["params"])}
+    assert set(pn) == set(po), set(pn) ^ set(po)
+    for key in pn:
+        np.testing.assert_array_equal(np.asarray(pn[key]), np.asarray(po[key]))
+
+    monkeypatch.setattr(kbpn_mod, "_MERGED_SR", True)
+    sr_new, kv_new = m_new.apply(v_old, x, None, False, train=False)
+    monkeypatch.setattr(kbpn_mod, "_MERGED_SR", False)
+    sr_old, kv_old = m_old.apply(v_old, x, None, False, train=False)
+    np.testing.assert_allclose(np.asarray(sr_new), np.asarray(sr_old), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(kv_new), np.asarray(kv_old), atol=1e-6)
+
+    def mkloss(merged):
+        m = build(merged, remat=True)
+
+        def loss(v):
+            sr, kv = m.apply(v, x, None, False, train=True)
+            return jnp.sum(sr ** 2) + jnp.sum(kv ** 2)
+
+        return loss
+
+    monkeypatch.setattr(kbpn_mod, "_MERGED_SR", True)
+    g_new = jax.grad(mkloss(True))(v_old)
+    monkeypatch.setattr(kbpn_mod, "_MERGED_SR", False)
+    g_old = jax.grad(mkloss(False))(v_old)
+    a = np.concatenate([np.ravel(t) for t in jax.tree_util.tree_leaves(g_new)])
+    b = np.concatenate([np.ravel(t) for t in jax.tree_util.tree_leaves(g_old)])
+    rel = np.linalg.norm(a - b) / np.linalg.norm(b)
+    assert rel < 1e-4, rel
