@@ -68,6 +68,15 @@ def main():
         carry = jnp.float32(0.0)
         sr, seg, carry = infer(variables, patches, carry)  # compile + warm
         float(carry)
+        sr_ref = None
+        if batch == 128:
+            # zero-carry output of the same compiled graph = the bf16
+            # reference for the int8 agreement metric; keep the exact
+            # input batch alongside it (the module rng keeps advancing)
+            sr_ref = (
+                np.asarray(infer(variables, patches, jnp.float32(0.0))[0]),
+                np.asarray(patches),
+            )
 
         n_iters = 30
         t0 = time.perf_counter()
@@ -97,7 +106,11 @@ def main():
                         variables, p + c * jnp.float32(1e-12), None, False,
                         train=False, clip_sr=True,
                     )
-                    return c + jnp.sum(out["sr"].astype(jnp.float32)), ()
+                    # consume BOTH heads: a carry through sr alone lets XLA
+                    # dead-code-eliminate the whole seg head inside the scan
+                    # (discovered via the int8 probe harness, PERF.md r3)
+                    c = c + jnp.sum(out["sr"].astype(jnp.float32))
+                    return c + jnp.sum(out["seg"].astype(jnp.float32)) * jnp.float32(1e-20), ()
 
                 c, _ = jax.lax.scan(body, carry, None, length=10)
                 return c
@@ -115,16 +128,17 @@ def main():
 
             # best of 2: the shared tunnel occasionally degrades a window ~2x
             sustained = max(timed_scan(), timed_scan())
-        return batch * n_iters / dt, sustained, flops
+        return batch * n_iters / dt, sustained, flops, sr_ref
 
     results = {b: measure(b) for b in (32, 64, 128)}
     best_b = max(results, key=lambda b: results[b][0])
     imgs_per_sec = results[best_b][0]
     # sustained = the lax.scan in-program loop at B=128: the whole
     # iteration loop lives in one device program, so per-call dispatch and
-    # tunnel transport are out of the picture entirely - the serving-mode
-    # rate (PERF.md round 3: ~1.17x the per-call number). `value` stays the
-    # per-call chained loop for round-over-round comparability.
+    # tunnel transport are out of the picture entirely. With both heads
+    # consumed (no seg-head DCE, PERF.md round-3 correction) it measures
+    # ~= the per-call number at B=128. `value` stays the per-call chained
+    # loop for round-over-round comparability.
     sustained = results[128][1]
     mfu = None
     if results[best_b][2]:
@@ -176,6 +190,71 @@ def main():
         # best of 2: the shared tunnel occasionally degrades a whole run ~2x
         return max(timed_run(), timed_run()), tflops
 
+    def measure_int8(ref, batch: int = 128):
+        """Opt-in int8 serving mode (PERF.md round 3): calibrated static
+        activation scales, per-output-channel weight scales, int8 MXU convs.
+        Reported as separate fields - `value` stays the bf16 path (the int8
+        accuracy window is checkpoint-dependent, tools/int8_accuracy.py)."""
+        import csbsr_tpu.models.blocks as blocks_mod
+
+        # the EXACT batch the bf16 reference output was computed on
+        sr_ref, patches = ref[0], jnp.asarray(ref[1])
+        blocks_mod.INT8_SERVE = True
+        try:
+            variables = jax.jit(
+                lambda r, p: model.init({"params": r}, p, None, False, train=False)
+            )(jax.random.PRNGKey(0), patches)
+            bstats = variables.get("batch_stats", {})
+
+            def apply(v, p, **kw):
+                return model.apply(v, p, None, False, train=False, clip_sr=True, **kw)
+
+            # calibration: one bf16 pass recording activation abs-maxima
+            _, quant = jax.jit(lambda v, p: apply(v, p, mutable=["quant"]))(
+                {"params": variables["params"], "batch_stats": bstats}, patches
+            )
+            serve_vars = {
+                "params": variables["params"], "batch_stats": bstats,
+                "quant": quant["quant"],
+            }
+
+            @jax.jit
+            def infer(v, p, carry):
+                # mirrors the bf16 loop exactly: BOTH outputs are jit
+                # results (materialized - the seg head cannot be DCE'd),
+                # carry chains through sr
+                out = apply(v, p + carry * jnp.float32(1e-12))
+                return out["sr"], out["seg"], carry + jnp.sum(out["sr"].astype(jnp.float32))
+
+            carry = jnp.float32(0.0)
+            sr_q, _, carry = infer(serve_vars, patches, carry)
+            float(carry)
+            mse = float(
+                np.mean(
+                    (np.clip(sr_ref.astype(np.float32), 0, 1)
+                     - np.clip(np.asarray(sr_q, np.float32), 0, 1)) ** 2
+                )
+            )
+            agreement_psnr = float("inf") if mse == 0 else 10.0 * np.log10(1.0 / mse)
+
+            def timed():
+                nonlocal carry
+                n = 30
+                t0 = time.perf_counter()
+                for _ in range(n):
+                    _, _, carry = infer(serve_vars, patches, carry)
+                float(carry)
+                return batch * n / (time.perf_counter() - t0)
+
+            rate = max(timed(), timed())
+            return rate, agreement_psnr
+        except Exception:
+            return None, None
+        finally:
+            blocks_mod.INT8_SERVE = False
+
+    int8_rate, int8_agreement = measure_int8(results[128][3])
+
     train_img_s, train_flops = measure_train(32)
     # B=64 is the HBM sweet spot with full remat (PERF.md round 3)
     train_img_s_b64, _ = measure_train(64)
@@ -191,6 +270,11 @@ def main():
     }
     if mfu is not None:
         out["mfu"] = round(mfu, 4)
+    if int8_rate is not None:
+        # calibrated int8 serving mode (opt-in; see PERF.md round 3 and
+        # tools/int8_accuracy.py for the accuracy methodology)
+        out["int8_value"] = round(int8_rate, 3)
+        out["int8_sr_psnr_vs_bf16"] = round(int8_agreement, 2)
     if train_flops is not None:
         out["train_mfu"] = round(
             train_flops / 32 * train_img_s / TPU_V5E_BF16_PEAK_FLOPS, 4

@@ -78,6 +78,26 @@ def build_infer_fn(cfg, model, variables):
     return infer
 
 
+def calibrate_int8(model, variables, sample_patches):
+    """Enable the int8 serving path and calibrate static activation scales.
+
+    One bf16 pass over a representative patch batch with
+    ``mutable=["quant"]`` records per-conv activation abs-maxima
+    (csbsr_tpu/ops/quant.py); returning them inside `variables` switches the
+    quantized blocks to static scales. Accuracy is checkpoint-dependent —
+    validate with tools/int8_accuracy.py before production use.
+    """
+    import csbsr_tpu.models.blocks as blocks_mod
+
+    blocks_mod.INT8_SERVE = True
+    _, quant = jax.jit(
+        lambda v, p: model.apply(
+            v, p, None, False, train=False, clip_sr=True, mutable=["quant"]
+        )
+    )(variables, jnp.asarray(sample_patches))
+    return dict(variables, quant=quant["quant"])
+
+
 def inference_for_ss(
     cfg,
     model,

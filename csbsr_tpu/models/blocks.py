@@ -34,6 +34,164 @@ import os as _os
 
 USE_S2D = _os.environ.get("CSBSR_USE_S2D", "0") == "1"
 
+# Opt-in int8 serving mode (CSBSR_INT8_SERVE=1): eval-path convs run as
+# int8 x int8 -> int32 on the MXU (2x bf16 peak on v5e; measured 1.78x on
+# 3x3 chains at flagship shapes, PERF.md round 3). Param layouts stay
+# identical to the bf16 modules, so any checkpoint serves in either mode.
+# Activation scales are static when a calibrated `quant` collection is in
+# `variables` (run the model once with mutable=["quant"] to record
+# abs-maxima), dynamic (per-call abs-max reduce) otherwise. Accuracy is
+# checkpoint-dependent: validate with tools/int8_accuracy.py before use.
+INT8_SERVE = _os.environ.get("CSBSR_INT8_SERVE", "0") == "1"
+# which convs quantize: "all" (default) = every ConvBlock/DeconvBlock conv
+# including the k8s4 back-projection (de)convs; "narrow" = stride-1 k<=3
+# convs only, for A/B. Measured end-to-end (flagship, B=128, static scales,
+# seg head excluded from the harness): bf16 351.6 / narrow 355.9 / all
+# 380.6 img/s - with CALIBRATED static scales the k8s4 quantization pays
+# (with dynamic per-call scales it measured at or below parity, which is
+# why calibration matters).
+INT8_SCOPE = _os.environ.get("CSBSR_INT8_SCOPE", "all")
+
+from jax import lax as _lax
+
+from ..ops.quant import int8_conv, int8_conv_transpose
+
+
+class Int8Conv(nn.Module):
+    """nn.Conv-compatible params; int8 serving compute (see INT8_SERVE)."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    groups: int = 1
+    use_bias: bool = True
+    kernel_init: Any = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        init = self.kernel_init or nn.initializers.lecun_normal()
+        kernel = self.param(
+            "kernel", init, (k, k, x.shape[-1] // self.groups, self.features)
+        )
+        pad = [(self.padding, self.padding)] * 2
+        calibrating = self.is_mutable_collection("quant")
+        if calibrating:
+            amax = self.variable("quant", "act_amax", lambda: jnp.zeros((), jnp.float32))
+            amax.value = jnp.maximum(amax.value, jnp.max(jnp.abs(x)).astype(jnp.float32))
+        if calibrating or not INT8_SERVE:
+            y = _lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                (self.stride,) * 2, pad, rhs_dilation=(self.dilation,) * 2,
+                feature_group_count=self.groups,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        else:
+            amax = (
+                self.get_variable("quant", "act_amax")
+                if self.has_variable("quant", "act_amax") else None
+            )
+            y = int8_conv(
+                x.astype(self.dtype), kernel,
+                strides=(self.stride,) * 2, padding=pad,
+                dilation=(self.dilation,) * 2, groups=self.groups,
+                act_amax=amax, out_dtype=self.dtype,
+            )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+class Int8Deconv(nn.Module):
+    """nn.ConvTranspose(transpose_kernel=True)-compatible params; int8 serve."""
+
+    features: int
+    kernel_size: int
+    stride: int
+    padding: int  # torch padding p; lax pad is (k-1-p)
+    use_bias: bool = True
+    kernel_init: Any = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k, p = self.kernel_size, self.padding
+        init = self.kernel_init or nn.initializers.lecun_normal()
+        kernel = self.param("kernel", init, (k, k, self.features, x.shape[-1]))
+        pad = [(k - 1 - p, k - 1 - p)] * 2
+        calibrating = self.is_mutable_collection("quant")
+        if calibrating:
+            amax = self.variable("quant", "act_amax", lambda: jnp.zeros((), jnp.float32))
+            amax.value = jnp.maximum(amax.value, jnp.max(jnp.abs(x)).astype(jnp.float32))
+        if calibrating or not INT8_SERVE:
+            y = _lax.conv_transpose(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                (self.stride,) * 2, pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                transpose_kernel=True,
+            )
+        else:
+            amax = (
+                self.get_variable("quant", "act_amax")
+                if self.has_variable("quant", "act_amax") else None
+            )
+            y = int8_conv_transpose(
+                x.astype(self.dtype), kernel,
+                strides=(self.stride,) * 2, padding=pad,
+                act_amax=amax, out_dtype=self.dtype,
+            )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+def qconv(features, kernel_size, *, stride=1, padding=0, dilation=1,
+          groups=1, use_bias=True, kernel_init=None, dtype=jnp.float32,
+          name=None, train=False):
+    """nn.Conv-compatible factory for eval-path int8 serving.
+
+    Returns Int8Conv when the int8 serving mode is active (INT8_SERVE, eval
+    only, scope rules as in ConvBlock), else nn.Conv — with an IDENTICAL
+    param tree (<name>/kernel[, /bias]) either way, so checkpoints are
+    interchangeable. Square kernels / symmetric int padding only (every
+    conv in the model zoo fits).
+    """
+    if INT8_SERVE and not train and (
+        INT8_SCOPE == "all" or (kernel_size <= 3 and stride == 1)
+    ):
+        return Int8Conv(features, kernel_size, stride, padding, dilation,
+                        groups, use_bias, kernel_init, dtype, name=name)
+    return nn.Conv(
+        features, (kernel_size, kernel_size), strides=(stride, stride),
+        padding=[(padding, padding)] * 2, kernel_dilation=(dilation, dilation),
+        feature_group_count=groups, use_bias=use_bias,
+        kernel_init=kernel_init or nn.initializers.lecun_normal(),
+        dtype=dtype, name=name,
+    )
+
+
+def qdeconv(features, kernel_size, *, stride, padding, use_bias=True,
+            kernel_init=None, dtype=jnp.float32, name=None, train=False):
+    """nn.ConvTranspose(transpose_kernel=True)-compatible factory for
+    eval-path int8 serving. `padding` is the TORCH convention p (the lax
+    pad is k-1-p), matching Int8Deconv and every deconv in the model zoo.
+    Param tree (<name>/kernel[, /bias]) identical either way."""
+    if INT8_SERVE and not train and INT8_SCOPE == "all":
+        return Int8Deconv(features, kernel_size, stride, padding,
+                          use_bias, kernel_init, dtype, name=name)
+    lp = kernel_size - 1 - padding
+    return nn.ConvTranspose(
+        features, (kernel_size, kernel_size), strides=(stride, stride),
+        padding=[(lp, lp)] * 2, transpose_kernel=True, use_bias=use_bias,
+        kernel_init=kernel_init or nn.initializers.lecun_normal(),
+        dtype=dtype, name=name,
+    )
+
 
 class _S2DConv(nn.Module):
     """nn.Conv-compatible params; computes via the space-to-depth lowering."""
@@ -192,6 +350,14 @@ class ConvBlock(nn.Module):
                 self.features, self.kernel_size, self.stride, self.padding,
                 self.use_bias, init, self.dtype, name="conv",
             )(x)
+        elif INT8_SERVE and not train and (
+            INT8_SCOPE == "all" or (self.kernel_size <= 3 and self.stride == 1)
+        ):
+            x = Int8Conv(
+                self.features, self.kernel_size, self.stride, self.padding,
+                self.dilation, self.groups, self.use_bias, init, self.dtype,
+                name="conv",
+            )(x)
         else:
             x = nn.Conv(
                 self.features,
@@ -232,6 +398,11 @@ class DeconvBlock(nn.Module):
         init = _init_for_activation(self.activation)
         if USE_S2D and can_s2d_deconv(k, self.stride, p):
             x = _S2DDeconv(
+                self.features, k, self.stride, p, self.use_bias, init,
+                self.dtype, name="deconv",
+            )(x)
+        elif INT8_SERVE and not train and INT8_SCOPE == "all":
+            x = Int8Deconv(
                 self.features, k, self.stride, p, self.use_bias, init,
                 self.dtype, name="deconv",
             )(x)
@@ -412,9 +583,12 @@ class SFTLayer(nn.Module):
     def __call__(self, features, conditions):
         cat = jnp.concatenate([features, conditions], axis=-1)
         c = cat.shape[-1]
-        conv = lambda f, name: nn.Conv(
-            f, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype, name=name
-        )
+        if INT8_SERVE:
+            conv = lambda f, name: Int8Conv(f, 3, 1, 1, dtype=self.dtype, name=name)
+        else:
+            conv = lambda f, name: nn.Conv(
+                f, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype, name=name
+            )
         scale = conv(c, "SFT_scale_conv0")(cat)
         scale = conv(self.out_features, "SFT_scale_conv1")(nn.leaky_relu(scale, 0.1))
         scale = nn.sigmoid(scale)

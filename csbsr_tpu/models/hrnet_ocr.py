@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..ops.resize import resize
+from .blocks import qconv
 
 W48_STAGES = {
     "stage2": dict(num_modules=1, num_branches=2, num_blocks=4, channels=(48, 96)),
@@ -36,9 +37,9 @@ def _bn(train, dtype, name):
                         dtype=dtype, name=name)
 
 
-def _conv(ch, k, s, p, dtype, name, bias=False):
-    return nn.Conv(ch, (k, k), strides=(s, s), padding=[(p, p)] * 2,
-                   use_bias=bias, dtype=dtype, name=name)
+def _conv(ch, k, s, p, dtype, name, bias=False, train=False):
+    return qconv(ch, k, stride=s, padding=p, use_bias=bias, dtype=dtype,
+                 name=name, train=train)
 
 
 class BasicBlock(nn.Module):
@@ -49,12 +50,12 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train=False):
-        out = _conv(self.planes, 3, self.stride, 1, self.dtype, "conv1")(x)
+        out = _conv(self.planes, 3, self.stride, 1, self.dtype, "conv1", train=train)(x)
         out = nn.relu(_bn(train, self.dtype, "bn1")(out))
-        out = _conv(self.planes, 3, 1, 1, self.dtype, "conv2")(out)
+        out = _conv(self.planes, 3, 1, 1, self.dtype, "conv2", train=train)(out)
         out = _bn(train, self.dtype, "bn2")(out)
         if self.use_downsample:
-            res = _conv(self.planes, 1, self.stride, 0, self.dtype, "ds_conv")(x)
+            res = _conv(self.planes, 1, self.stride, 0, self.dtype, "ds_conv", train=train)(x)
             res = _bn(train, self.dtype, "ds_bn")(res)
         else:
             res = x
@@ -69,14 +70,14 @@ class Bottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x, train=False):
-        out = _conv(self.planes, 1, 1, 0, self.dtype, "conv1")(x)
+        out = _conv(self.planes, 1, 1, 0, self.dtype, "conv1", train=train)(x)
         out = nn.relu(_bn(train, self.dtype, "bn1")(out))
-        out = _conv(self.planes, 3, self.stride, 1, self.dtype, "conv2")(out)
+        out = _conv(self.planes, 3, self.stride, 1, self.dtype, "conv2", train=train)(out)
         out = nn.relu(_bn(train, self.dtype, "bn2")(out))
-        out = _conv(self.planes * 4, 1, 1, 0, self.dtype, "conv3")(out)
+        out = _conv(self.planes * 4, 1, 1, 0, self.dtype, "conv3", train=train)(out)
         out = _bn(train, self.dtype, "bn3")(out)
         if self.use_downsample:
-            res = _conv(self.planes * 4, 1, self.stride, 0, self.dtype, "ds_conv")(x)
+            res = _conv(self.planes * 4, 1, self.stride, 0, self.dtype, "ds_conv", train=train)(x)
             res = _bn(train, self.dtype, "ds_bn")(res)
         else:
             res = x
@@ -110,7 +111,7 @@ class HighResolutionModule(nn.Module):
                     t = outs[j]
                 elif j > i:
                     # 1x1 conv + BN then bilinear upsample (align_corners=True)
-                    t = _conv(self.channels[i], 1, 1, 0, self.dtype, f"fuse{i}_{j}_conv")(outs[j])
+                    t = _conv(self.channels[i], 1, 1, 0, self.dtype, f"fuse{i}_{j}_conv", train=train)(outs[j])
                     t = _bn(train, self.dtype, f"fuse{i}_{j}_bn")(t)
                     t = resize(t, (h, w), method="bilinear", align_corners=True)
                 else:
@@ -119,7 +120,7 @@ class HighResolutionModule(nn.Module):
                     for k in range(i - j):
                         last = k == i - j - 1
                         ch = self.channels[i] if last else self.channels[j]
-                        t = _conv(ch, 3, 2, 1, self.dtype, f"fuse{i}_{j}_conv{k}")(t)
+                        t = _conv(ch, 3, 2, 1, self.dtype, f"fuse{i}_{j}_conv{k}", train=train)(t)
                         t = _bn(train, self.dtype, f"fuse{i}_{j}_bn{k}")(t)
                         if not last:
                             t = nn.relu(t)
@@ -135,9 +136,9 @@ class HRNetW48Backbone(nn.Module):
 
     @nn.compact
     def __call__(self, x, train=False):
-        x = _conv(64, 3, 2, 1, self.dtype, "conv1")(x)
+        x = _conv(64, 3, 2, 1, self.dtype, "conv1", train=train)(x)
         x = nn.relu(_bn(train, self.dtype, "bn1")(x))
-        x = _conv(64, 3, 2, 1, self.dtype, "conv2")(x)
+        x = _conv(64, 3, 2, 1, self.dtype, "conv2", train=train)(x)
         x = nn.relu(_bn(train, self.dtype, "bn2")(x))
         for b in range(4):
             x = Bottleneck(64, 1, b == 0, dtype=self.dtype, name=f"layer1_{b}")(x, train)
@@ -149,7 +150,7 @@ class HRNetW48Backbone(nn.Module):
             for i, ch in enumerate(cur_channels):
                 if i < npre:
                     if xs[i].shape[-1] != ch:
-                        t = _conv(ch, 3, 1, 1, self.dtype, f"{name}_{i}_conv")(xs[i])
+                        t = _conv(ch, 3, 1, 1, self.dtype, f"{name}_{i}_conv", train=train)(xs[i])
                         t = nn.relu(_bn(train, self.dtype, f"{name}_{i}_bn")(t))
                         outs.append(t)
                     else:
@@ -158,7 +159,7 @@ class HRNetW48Backbone(nn.Module):
                     t = xs[-1]
                     for j in range(i + 1 - npre):
                         ch_out = ch if j == i - npre else t.shape[-1]
-                        t = _conv(ch_out, 3, 2, 1, self.dtype, f"{name}_{i}_conv{j}")(t)
+                        t = _conv(ch_out, 3, 2, 1, self.dtype, f"{name}_{i}_conv{j}", train=train)(t)
                         t = nn.relu(_bn(train, self.dtype, f"{name}_{i}_bn{j}")(t))
                     outs.append(t)
             return outs
@@ -206,10 +207,10 @@ class ObjectAttention(nn.Module):
         kc = self.key_channels
 
         def conv_bn_relu(v, ch, name, twice=False):
-            v = nn.Conv(ch, (1, 1), dtype=self.dtype, name=f"{name}_conv0")(v)
+            v = qconv(ch, 1, dtype=self.dtype, name=f"{name}_conv0", train=train)(v)
             v = nn.relu(_bn(train, self.dtype, f"{name}_bn0")(v))
             if twice:
-                v = nn.Conv(ch, (1, 1), dtype=self.dtype, name=f"{name}_conv1")(v)
+                v = qconv(ch, 1, dtype=self.dtype, name=f"{name}_conv1", train=train)(v)
                 v = nn.relu(_bn(train, self.dtype, f"{name}_bn1")(v))
             return v
 
@@ -240,7 +241,7 @@ class SpatialOCR(nn.Module):
             feats, proxy, train
         )
         out = jnp.concatenate([context, feats], axis=-1)
-        out = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv")(out)
+        out = qconv(self.out_channels, 1, dtype=self.dtype, name="conv", train=train)(out)
         out = nn.relu(_bn(train, self.dtype, "bn")(out))
         return nn.Dropout(self.dropout, deterministic=not train)(out)
 
@@ -261,16 +262,16 @@ class HRNetW48OCR(nn.Module):
             axis=-1,
         )  # 720 ch
 
-        aux = nn.Conv(720, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype, name="aux_conv0")(feats)
+        aux = qconv(720, 3, padding=1, dtype=self.dtype, name="aux_conv0", train=train)(feats)
         aux = nn.relu(_bn(train, self.dtype, "aux_bn")(aux))
-        aux = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype, name="aux_conv1")(aux)
+        aux = qconv(self.num_classes, 1, dtype=self.dtype, name="aux_conv1", train=train)(aux)
 
-        f = nn.Conv(512, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype, name="conv3x3")(feats)
+        f = qconv(512, 3, padding=1, dtype=self.dtype, name="conv3x3", train=train)(feats)
         f = nn.relu(_bn(train, self.dtype, "conv3x3_bn")(f))
 
         context = SpatialGather()(f, aux)
         f = SpatialOCR(256, 512, dtype=self.dtype, name="ocr_distri_head")(f, context, train)
-        out = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype, name="cls_head")(f)
+        out = qconv(self.num_classes, 1, dtype=self.dtype, name="cls_head", train=train)(f)
 
         out = nn.sigmoid(resize(out, (h_in, w_in), method="bilinear", align_corners=True))
         aux = nn.sigmoid(resize(aux, (h_in, w_in), method="bilinear", align_corners=True))

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..ops.resize import resize, adaptive_avg_pool
-from .blocks import PReLU, SFTLikeBlock, SFTBlock, ConvBlock
+from .blocks import PReLU, SFTLikeBlock, SFTBlock, ConvBlock, qconv
 
 
 class BasicBlock(nn.Module):
@@ -35,21 +35,20 @@ class BasicBlock(nn.Module):
             dtype=self.dtype, name=name,
         )
         d = self.dilation
-        out = nn.Conv(
-            self.planes, (3, 3), strides=(self.stride, self.stride),
-            padding=[(d, d)] * 2, kernel_dilation=(d, d), use_bias=False,
-            dtype=self.dtype, name="conv1",
+        out = qconv(
+            self.planes, 3, stride=self.stride, padding=d, dilation=d,
+            use_bias=False, dtype=self.dtype, name="conv1", train=train,
         )(x)
         out = nn.relu(bn("bn1")(out))
-        out = nn.Conv(
-            self.planes, (3, 3), padding=[(d, d)] * 2, kernel_dilation=(d, d),
-            use_bias=False, dtype=self.dtype, name="conv2",
+        out = qconv(
+            self.planes, 3, padding=d, dilation=d,
+            use_bias=False, dtype=self.dtype, name="conv2", train=train,
         )(out)
         out = bn("bn2")(out)
         if self.use_downsample:
-            res = nn.Conv(
-                self.planes, (1, 1), strides=(self.stride, self.stride),
-                use_bias=False, dtype=self.dtype, name="downsample_conv",
+            res = qconv(
+                self.planes, 1, stride=self.stride, use_bias=False,
+                dtype=self.dtype, name="downsample_conv", train=train,
             )(x)
             res = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
@@ -76,17 +75,18 @@ class BottleneckPSP(nn.Module):
             dtype=self.dtype, name=name,
         )
         d = self.dilation
-        out = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
+        out = qconv(self.planes, 1, use_bias=False, dtype=self.dtype,
+                    name="conv1", train=train)(x)
         out = nn.relu(bn("bn1")(out))
-        out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
-                      padding=[(d, d)] * 2, kernel_dilation=(d, d), use_bias=False,
-                      dtype=self.dtype, name="conv2")(out)
+        out = qconv(self.planes, 3, stride=self.stride, padding=d, dilation=d,
+                    use_bias=False, dtype=self.dtype, name="conv2", train=train)(out)
         out = nn.relu(bn("bn2")(out))
-        out = nn.Conv(self.planes * 4, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(out)
+        out = qconv(self.planes * 4, 1, use_bias=False, dtype=self.dtype,
+                    name="conv3", train=train)(out)
         out = bn("bn3")(out)
         if self.use_downsample:
-            res = nn.Conv(self.planes * 4, (1, 1), strides=(self.stride, self.stride),
-                          use_bias=False, dtype=self.dtype, name="downsample_conv")(x)
+            res = qconv(self.planes * 4, 1, stride=self.stride, use_bias=False,
+                        dtype=self.dtype, name="downsample_conv", train=train)(x)
             res = bn("downsample_bn")(res)
         else:
             res = x
@@ -104,8 +104,8 @@ class ResNetDilated(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3)] * 2,
-                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = qconv(64, 7, stride=2, padding=3, use_bias=False,
+                  dtype=self.dtype, name="conv1", train=train)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
@@ -163,8 +163,8 @@ class DenseNetExtractor(nn.Module):
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name=name,
         )
-        x = nn.Conv(self.num_init_features, (7, 7), strides=(2, 2), padding=[(3, 3)] * 2,
-                    use_bias=False, dtype=self.dtype, name="conv0")(x)
+        x = qconv(self.num_init_features, 7, stride=2, padding=3, use_bias=False,
+                  dtype=self.dtype, name="conv0", train=train)(x)
         x = nn.relu(bn("norm0")(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
@@ -172,16 +172,18 @@ class DenseNetExtractor(nn.Module):
         for bi, num_layers in enumerate(self.block_config):
             for li in range(num_layers):
                 h = nn.relu(bn(f"db{bi+1}_l{li+1}_norm1")(x))
-                h = nn.Conv(self.bn_size * self.growth_rate, (1, 1), use_bias=False,
-                            dtype=self.dtype, name=f"db{bi+1}_l{li+1}_conv1")(h)
+                h = qconv(self.bn_size * self.growth_rate, 1, use_bias=False,
+                          dtype=self.dtype, name=f"db{bi+1}_l{li+1}_conv1",
+                          train=train)(h)
                 h = nn.relu(bn(f"db{bi+1}_l{li+1}_norm2")(h))
-                h = nn.Conv(self.growth_rate, (3, 3), padding=[(1, 1)] * 2, use_bias=False,
-                            dtype=self.dtype, name=f"db{bi+1}_l{li+1}_conv2")(h)
+                h = qconv(self.growth_rate, 3, padding=1, use_bias=False,
+                          dtype=self.dtype, name=f"db{bi+1}_l{li+1}_conv2",
+                          train=train)(h)
                 x = jnp.concatenate([x, h], axis=-1)
             if bi != len(self.block_config) - 1:
                 x = nn.relu(bn(f"t{bi+1}_norm")(x))
-                x = nn.Conv(x.shape[-1] // 2, (1, 1), use_bias=False, dtype=self.dtype,
-                            name=f"t{bi+1}_conv")(x)
+                x = qconv(x.shape[-1] // 2, 1, use_bias=False, dtype=self.dtype,
+                          name=f"t{bi+1}_conv", train=train)(x)
                 if bi < 1:  # only transition1 downsamples (extractors.py:203-206)
                     x = nn.avg_pool(x, (2, 2), strides=(2, 2))
                 if bi == 2:
@@ -199,12 +201,14 @@ class FireModule(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         d = self.dilation
-        s = nn.relu(nn.Conv(self.squeeze, (1, 1), dtype=self.dtype, name="squeeze")(x))
-        e1 = nn.relu(nn.Conv(self.expand1x1, (1, 1), dtype=self.dtype, name="expand1x1")(s))
-        e3 = nn.relu(nn.Conv(self.expand3x3, (3, 3), padding=[(d, d)] * 2,
-                             kernel_dilation=(d, d), dtype=self.dtype, name="expand3x3")(s))
+        s = nn.relu(qconv(self.squeeze, 1, dtype=self.dtype, name="squeeze",
+                          train=train)(x))
+        e1 = nn.relu(qconv(self.expand1x1, 1, dtype=self.dtype, name="expand1x1",
+                           train=train)(s))
+        e3 = nn.relu(qconv(self.expand3x3, 3, padding=d, dilation=d,
+                           dtype=self.dtype, name="expand3x3", train=train)(s))
         return jnp.concatenate([e1, e3], axis=-1)
 
 
@@ -216,18 +220,18 @@ class SqueezeNetExtractor(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        f1 = nn.relu(nn.Conv(64, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2,
-                             dtype=self.dtype, name="feat1_conv")(x))
+        f1 = nn.relu(qconv(64, 3, stride=2, padding=1, dtype=self.dtype,
+                           name="feat1_conv", train=train)(x))
         f2 = nn.max_pool(f1, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
-        f2 = FireModule(16, 64, 64, dtype=self.dtype, name="fire1")(f2)
-        f2 = FireModule(16, 64, 64, dtype=self.dtype, name="fire2")(f2)
+        f2 = FireModule(16, 64, 64, dtype=self.dtype, name="fire1")(f2, train)
+        f2 = FireModule(16, 64, 64, dtype=self.dtype, name="fire2")(f2, train)
         f3 = nn.max_pool(f2, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
-        f3 = FireModule(32, 128, 128, 2, dtype=self.dtype, name="fire3")(f3)
-        f3 = FireModule(32, 128, 128, 2, dtype=self.dtype, name="fire4")(f3)
-        f4 = FireModule(48, 192, 192, 4, dtype=self.dtype, name="fire5")(f3)
-        f4 = FireModule(48, 192, 192, 4, dtype=self.dtype, name="fire6")(f4)
-        f4 = FireModule(64, 256, 256, 4, dtype=self.dtype, name="fire7")(f4)
-        f4 = FireModule(64, 256, 256, 4, dtype=self.dtype, name="fire8")(f4)
+        f3 = FireModule(32, 128, 128, 2, dtype=self.dtype, name="fire3")(f3, train)
+        f3 = FireModule(32, 128, 128, 2, dtype=self.dtype, name="fire4")(f3, train)
+        f4 = FireModule(48, 192, 192, 4, dtype=self.dtype, name="fire5")(f3, train)
+        f4 = FireModule(48, 192, 192, 4, dtype=self.dtype, name="fire6")(f4, train)
+        f4 = FireModule(64, 256, 256, 4, dtype=self.dtype, name="fire7")(f4, train)
+        f4 = FireModule(64, 256, 256, 4, dtype=self.dtype, name="fire8")(f4, train)
         return f4, f3
 
 
@@ -251,19 +255,18 @@ class PSPModule(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, feats):
+    def __call__(self, feats, train: bool = False):
         h, w = feats.shape[1:3]
         priors = []
         for i, size in enumerate(self.sizes):
             p = adaptive_avg_pool(feats, (size, size))
-            p = nn.Conv(feats.shape[-1], (1, 1), use_bias=False, dtype=self.dtype,
-                        name=f"stage{i}")(p)
+            p = qconv(feats.shape[-1], 1, use_bias=False, dtype=self.dtype,
+                      name=f"stage{i}", train=train)(p)
             # reference upsamples with F.interpolate bilinear (align_corners=False)
             priors.append(resize(p, (h, w), method="bilinear"))
         priors.append(feats)
-        bottle = nn.Conv(self.out_features, (1, 1), dtype=self.dtype, name="bottleneck")(
-            jnp.concatenate(priors, axis=-1)
-        )
+        bottle = qconv(self.out_features, 1, dtype=self.dtype, name="bottleneck",
+                       train=train)(jnp.concatenate(priors, axis=-1))
         return nn.relu(bottle)
 
 
@@ -277,8 +280,8 @@ class PSPUpsample(nn.Module):
     def __call__(self, x, train: bool = False):
         h, w = 2 * x.shape[1], 2 * x.shape[2]
         p = resize(x, (h, w), method="bilinear")
-        p = nn.Conv(self.out_channels, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype,
-                    name="conv")(p)
+        p = qconv(self.out_channels, 3, padding=1, dtype=self.dtype,
+                  name="conv", train=train)(p)
         p = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                          dtype=self.dtype, name="bn")(p)
         return PReLU(name="prelu")(p)
@@ -293,13 +296,13 @@ class _AuxHead(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(256, (3, 3), padding=[(1, 1)] * 2, use_bias=False,
-                    dtype=self.dtype, name="conv0")(x)
+        x = qconv(256, 3, padding=1, use_bias=False,
+                  dtype=self.dtype, name="conv0", train=train)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                          dtype=self.dtype, name="bn")(x)
         x = nn.relu(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        x = nn.Conv(self.n_classes, (1, 1), dtype=self.dtype, name="conv1")(x)
+        x = qconv(self.n_classes, 1, dtype=self.dtype, name="conv1", train=train)(x)
         return nn.sigmoid(x)
 
 
@@ -314,7 +317,7 @@ class PSPNet(nn.Module):
     def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
         h, w = x.shape[1:3]
         f, aux_f = make_extractor(self.backend, self.dtype)(x, train)
-        p = PSPModule(1024, dtype=self.dtype, name="psp")(f)
+        p = PSPModule(1024, dtype=self.dtype, name="psp")(f, train)
         p = nn.Dropout(0.3, deterministic=not train)(p)
         p = PSPUpsample(256, dtype=self.dtype, name="up_1")(p, train)
         p = nn.Dropout(0.15, deterministic=not train)(p)
@@ -322,7 +325,8 @@ class PSPNet(nn.Module):
         p = nn.Dropout(0.15, deterministic=not train)(p)
         p = PSPUpsample(64, dtype=self.dtype, name="up_3")(p, train)
         p = nn.Dropout(0.15, deterministic=not train)(p)
-        main = nn.sigmoid(nn.Conv(self.n_classes, (1, 1), dtype=self.dtype, name="final")(p))
+        main = nn.sigmoid(qconv(self.n_classes, 1, dtype=self.dtype,
+                                name="final", train=train)(p))
         aux = _AuxHead(self.n_classes, dtype=self.dtype, name="aux")(aux_f, train)
         aux = resize(aux, (h, w), method="bilinear", align_corners=True)
         return main, aux
@@ -344,7 +348,7 @@ class PSPNetBlurSkip(nn.Module):
     def __call__(self, x, kernel_vec, train: bool = False):
         h, w = x.shape[1:3]
         f, aux_f = ResNet34Dilated(dtype=self.dtype, name="feats")(x, train)
-        p = PSPModule(1024, dtype=self.dtype, name="psp")(f)
+        p = PSPModule(1024, dtype=self.dtype, name="psp")(f, train)
         p = nn.Dropout(0.3, deterministic=not train)(p)
         p = PSPUpsample(256, dtype=self.dtype, name="up_1")(p, train)
         p = nn.Dropout(0.15, deterministic=not train)(p)
@@ -369,7 +373,8 @@ class PSPNetBlurSkip(nn.Module):
                            dtype=self.dtype, name=f"blur_skip_conv{i}")(_p, train)
         p = p + _p
 
-        main = nn.sigmoid(nn.Conv(self.n_classes, (1, 1), dtype=self.dtype, name="final")(p))
+        main = nn.sigmoid(qconv(self.n_classes, 1, dtype=self.dtype,
+                                name="final", train=train)(p))
         aux = _AuxHead(self.n_classes, dtype=self.dtype, name="aux")(aux_f, train)
         aux = resize(aux, (h, w), method="bilinear", align_corners=True)
         return main, aux

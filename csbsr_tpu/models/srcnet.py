@@ -14,7 +14,7 @@ from typing import Any
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .blocks import max_pool_with_indices, max_unpool
+from .blocks import max_pool_with_indices, max_unpool, qconv, qdeconv
 
 _DECONV_SETTING = {2: (6, 2, 2), 4: (8, 4, 2), 8: (12, 8, 2)}
 
@@ -27,10 +27,10 @@ class _CAResBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        m = nn.Conv(self.base_ch, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype, name="fe1_0")(x)
+    def __call__(self, x, train: bool = False):
+        m = qconv(self.base_ch, 3, padding=1, dtype=self.dtype, name="fe1_0", train=train)(x)
         m = nn.relu(m)
-        m = nn.Conv(self.base_ch, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype, name="fe1_1")(m)
+        m = qconv(self.base_ch, 3, padding=1, dtype=self.dtype, name="fe1_1", train=train)(m)
         s = jnp.mean(m, axis=(1, 2), keepdims=True)
         s = nn.Conv(self.base_ch // 2, (1, 1), dtype=self.dtype, name="att_0")(s)
         s = nn.sigmoid(s)
@@ -51,21 +51,19 @@ class SrcNetSR(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         k, s, p = _DECONV_SETTING[self.scale_factor]
-        f = nn.Conv(self.base_ch, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype, name="sconv1")(x)
+        f = qconv(self.base_ch, 3, padding=1, dtype=self.dtype, name="sconv1", train=train)(x)
         rir_in = f
         for g in range(self.n_groups):
             group_in = f
             for b in range(self.n_blocks):
-                f = _CAResBlock(self.base_ch, dtype=self.dtype, name=f"rg{g}_rb{b}")(f)
-            f = nn.Conv(self.base_ch, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype, name=f"rg{g}_conv")(f)
+                f = _CAResBlock(self.base_ch, dtype=self.dtype, name=f"rg{g}_rb{b}")(f, train)
+            f = qconv(self.base_ch, 3, padding=1, dtype=self.dtype, name=f"rg{g}_conv", train=train)(f)
             f = group_in + f
-        f = nn.Conv(self.base_ch, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype, name="rir_conv")(f)
+        f = qconv(self.base_ch, 3, padding=1, dtype=self.dtype, name="rir_conv", train=train)(f)
         f = rir_in + f
-        f = nn.ConvTranspose(
-            256, (k, k), strides=(s, s), padding=[(k - 1 - p, k - 1 - p)] * 2,
-            transpose_kernel=True, dtype=self.dtype, name="upscaling",
-        )(f)
-        return nn.Conv(3, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype, name="sconv2")(f)
+        f = qdeconv(256, k, stride=s, padding=p, dtype=self.dtype,
+                    name="upscaling", train=train)(f)
+        return qconv(3, 3, padding=1, dtype=self.dtype, name="sconv2", train=train)(f)
 
 
 class SegNet(nn.Module):
@@ -77,7 +75,7 @@ class SegNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         def cbr(v, ch, name):
-            v = nn.Conv(ch, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype, name=f"conv{name}")(v)
+            v = qconv(ch, 3, padding=1, dtype=self.dtype, name=f"conv{name}", train=train)(v)
             v = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                              dtype=self.dtype, name=f"bn{name}")(v)
             return nn.relu(v)
@@ -107,5 +105,5 @@ class SegNet(nn.Module):
             x = max_unpool(x, idx, 2)
             for j, ch in enumerate(chans):
                 x = cbr(x, ch, f"{tag}{j+1}")
-        x = nn.Conv(self.out_ch, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype, name="convDe1f")(x)
+        x = qconv(self.out_ch, 3, padding=1, dtype=self.dtype, name="convDe1f", train=train)(x)
         return nn.sigmoid(x)

@@ -40,6 +40,12 @@ def parse_args():
         help="If you do not want the output images to be saved, pass this flag.",
     )
     p.add_argument("--tti_crack_dataset", action="store_true")
+    p.add_argument(
+        "--int8_serve", action="store_true",
+        help="serve with int8 MXU convs (calibrated on the first test item; "
+             "~1.2x throughput on v5e). Accuracy is checkpoint-dependent - "
+             "validate with tools/int8_accuracy.py first.",
+    )
     # the reference defaults wandb ON in test.py (`test.py:101`); this
     # environment has no network, so it is opt-in here - metrics.jsonl and
     # the plot pngs carry the same content either way
@@ -111,6 +117,12 @@ def main():
     if args.tti_crack_dataset:
         dataset = TTICrackDataSetTest(cfg, cfg.DATASET.TEST_IMAGE_DIR)
         assert len(dataset) > 0, "Dataset size is 0!!"
+        if args.int8_serve:
+            from csbsr_tpu.engine.inference import calibrate_int8
+
+            variables = calibrate_int8(
+                model, variables, dataset.get(0)[0][: args.batch_size]
+            )
         inference_tti(cfg, model, variables, dataset, output_dir=output_dirname,
                       max_patches_per_call=args.batch_size)
         return
@@ -126,6 +138,11 @@ def main():
         cfg.DATASET.TEST_BLURED_NAME,
     )
     assert len(dataset) > 0, "Dataset size is 0!!"
+
+    if args.int8_serve:
+        from csbsr_tpu.engine.inference import calibrate_int8
+
+        variables = calibrate_int8(model, variables, dataset.get(0)[0])
 
     summary = inference_for_ss(
         cfg, model, variables, dataset,
