@@ -17,6 +17,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -197,9 +198,10 @@ def main():
         accuracy window is checkpoint-dependent, tools/int8_accuracy.py)."""
         import csbsr_tpu.models.blocks as blocks_mod
 
+        from csbsr_tpu.engine.inference import calibrate_int8
+
         # the EXACT batch the bf16 reference output was computed on
         sr_ref, patches = ref[0], jnp.asarray(ref[1])
-        blocks_mod.INT8_SERVE = True
         try:
             variables = jax.jit(
                 lambda r, p: model.init({"params": r}, p, None, False, train=False)
@@ -209,14 +211,12 @@ def main():
             def apply(v, p, **kw):
                 return model.apply(v, p, None, False, train=False, clip_sr=True, **kw)
 
-            # calibration: one bf16 pass recording activation abs-maxima
-            _, quant = jax.jit(lambda v, p: apply(v, p, mutable=["quant"]))(
-                {"params": variables["params"], "batch_stats": bstats}, patches
+            # the shipped calibration flow (sets INT8_SERVE, one bf16 pass
+            # recording activation abs-maxima into the quant collection)
+            serve_vars = calibrate_int8(
+                model, {"params": variables["params"], "batch_stats": bstats},
+                patches,
             )
-            serve_vars = {
-                "params": variables["params"], "batch_stats": bstats,
-                "quant": quant["quant"],
-            }
 
             @jax.jit
             def infer(v, p, carry):
@@ -248,7 +248,11 @@ def main():
 
             rate = max(timed(), timed())
             return rate, agreement_psnr
-        except Exception:
+        except Exception as e:
+            # int8 is reported as extra fields; a breakage must not kill the
+            # bf16 bench line - but it must be visible, not silent
+            print(f"int8 serving measurement FAILED: {type(e).__name__}: {e}",
+                  file=sys.stderr)
             return None, None
         finally:
             blocks_mod.INT8_SERVE = False

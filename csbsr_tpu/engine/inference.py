@@ -190,11 +190,21 @@ def inference_for_ss(
             if surface_distance_device:
                 # whole 99-threshold bank scored on device in one jitted call
                 # (metrics/device_surface.py); the host path below is the
-                # scipy parity oracle
+                # scipy parity oracle. Zero-pad to 64-px size buckets so a
+                # variable-size test set compiles the EDT program once per
+                # bucket, not once per distinct image shape (padding is
+                # exact: zero contour area, no new borders; only the
+                # empty-mask outlier needs the original size, passed as
+                # max_len)
                 from ..metrics.device_surface import distance_metrics_banked
 
+                ph, pw = (-(-seg_pred.shape[1] // 64)) * 64, (-(-seg_pred.shape[2] // 64)) * 64
+                pad = [(0, 0), (0, ph - seg_pred.shape[1]), (0, pw - seg_pred.shape[2])]
                 hd, msd = distance_metrics_banked(
-                    seg_pred[:, :, :, 0], seg_t[:, :, :, 0] > 0.5, th_dev
+                    jnp.pad(seg_pred[:, :, :, 0], pad),
+                    jnp.pad(seg_t[:, :, :, 0] > 0.5, pad),
+                    th_dev,
+                    max_len=jnp.float32(max(seg_pred.shape[1], seg_pred.shape[2])),
                 )
                 hd_rows.append(np.asarray(hd)[0])
                 msd_rows.append(np.asarray(msd)[0])
@@ -337,8 +347,10 @@ def plot_metrics_th(scores, thresholds, name, output_dir, med=False, wandb_run=N
     fig.savefig(os.path.join(output_dir, f"{label}_vs_threshold.png"), dpi=120)
     plt.close(fig)
     if wandb_run is not None:
+        # reference inference.py:275-285 appends "_median" to the metric
+        # name BEFORE logging, so mean and median land in separate series
         for v, th in zip(curve, np.asarray(thresholds)):
-            wandb_run.log({f"{name}(thresholds)": float(v), "thresholds": float(th)})
+            wandb_run.log({f"{label}(thresholds)": float(v), "thresholds": float(th)})
 
 
 def save_iou_log(aiu_scores, thresholds, fnames, output_dir):

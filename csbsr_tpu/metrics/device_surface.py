@@ -85,28 +85,37 @@ def _weighted_percentile(dist, weight, frac: float, hi0: float):
 
 @functools.partial(jax.jit, static_argnames=("percentile",))
 def distance_metrics_banked(prob: jnp.ndarray, gt: jnp.ndarray,
-                            thresholds: jnp.ndarray, percentile: float = 50.0):
+                            thresholds: jnp.ndarray, percentile: float = 50.0,
+                            max_len=None):
     """Binarise a probability map at a threshold bank and score HD/MSD in one
     jitted program: prob (B, H, W), gt (B, H, W), thresholds (T,) ->
     (hd, msd) each (B, T). The device form of the reference's
-    per-(image, threshold) host loop (inference.py:293-336)."""
+    per-(image, threshold) host loop (inference.py:293-336).
+
+    `max_len` (traced scalar) overrides the one-mask-empty outlier value —
+    pass max(orig_H, orig_W) when prob/gt were zero-padded to a size bucket
+    (zero padding is otherwise exact: padded elements carry zero contour
+    area, add no borders, and leave the EDT at original positions unchanged).
+    """
     bank = prob[:, None, :, :] > thresholds[None, :, None, None]
-    return distance_metrics_device(bank, gt, percentile=percentile)
+    return distance_metrics_device(bank, gt, percentile=percentile,
+                                   max_len=max_len)
 
 
 @functools.partial(jax.jit, static_argnames=("percentile",))
 def distance_metrics_device(pred_bank: jnp.ndarray, gt: jnp.ndarray,
-                            percentile: float = 50.0):
+                            percentile: float = 50.0, max_len=None):
     """Batched robust HD + MSD over a threshold bank, entirely on device.
 
     pred_bank: (B, T, H, W) bool/0-1 (already binarised per threshold);
     gt: (B, H, W) bool/0-1. Returns (hd, msd), each (B, T) float32, with the
     reference harness's empty-mask convention (inference.py:304-334):
-    both empty -> 0, one empty -> outlier = max(H, W).
+    both empty -> 0, one empty -> outlier = max(H, W) (or `max_len` when
+    given — see distance_metrics_banked's padding note).
     """
     b, t, h, w = pred_bank.shape
     table = jnp.asarray(_contour_length_table(), jnp.float32)
-    max_len = jnp.float32(max(h, w))
+    max_len = jnp.float32(max(h, w)) if max_len is None else jnp.float32(max_len)
     frac = float(percentile) / 100.0
     hi0 = math.hypot(h + 1, w + 1) + 1.0
 

@@ -580,10 +580,10 @@ class SFTLayer(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, features, conditions):
+    def __call__(self, features, conditions, train: bool = False):
         cat = jnp.concatenate([features, conditions], axis=-1)
         c = cat.shape[-1]
-        if INT8_SERVE:
+        if INT8_SERVE and not train:
             conv = lambda f, name: Int8Conv(f, 3, 1, 1, dtype=self.dtype, name=name)
         else:
             conv = lambda f, name: nn.Conv(
@@ -597,18 +597,18 @@ class SFTLayer(nn.Module):
         return features * scale + shift
 
 
-def _sft_branch(mdl_dtype, inp, out_features, final_act, name_prefix):
+def _sft_branch(mdl_dtype, inp, out_features, final_act, name_prefix, train=False):
     """Two ConvBlocks: (in->in, prelu) then (in->out, final_act); bias=True,
     no norm (blocks.py:105-139)."""
     in_ch = inp.shape[-1]
     x = ConvBlock(
         in_ch, 3, 1, 1, use_bias=True, activation="prelu", norm=None,
         prelu_init=0.01, dtype=mdl_dtype, name=f"{name_prefix}0",
-    )(inp)
+    )(inp, train)
     return ConvBlock(
         out_features, 3, 1, 1, use_bias=True, activation=final_act, norm=None,
         dtype=mdl_dtype, name=f"{name_prefix}1",
-    )(x)
+    )(x, train)
 
 
 class SFTLikeBlock(nn.Module):
@@ -618,10 +618,10 @@ class SFTLikeBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, cond):
+    def __call__(self, x, cond, train: bool = False):
         cat = jnp.concatenate([x, cond], axis=-1)
-        scale = _sft_branch(self.dtype, cat, self.features, "sigmoid", "conv_scale")
-        shift = _sft_branch(self.dtype, cat, self.features, None, "conv_shift")
+        scale = _sft_branch(self.dtype, cat, self.features, "sigmoid", "conv_scale", train)
+        shift = _sft_branch(self.dtype, cat, self.features, None, "conv_shift", train)
         return x * scale + shift
 
 
@@ -632,9 +632,9 @@ class SFTBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, cond):
-        scale = _sft_branch(self.dtype, cond, self.features, "sigmoid", "conv_scale")
-        shift = _sft_branch(self.dtype, cond, self.features, None, "conv_shift")
+    def __call__(self, x, cond, train: bool = False):
+        scale = _sft_branch(self.dtype, cond, self.features, "sigmoid", "conv_scale", train)
+        shift = _sft_branch(self.dtype, cond, self.features, None, "conv_shift", train)
         return x * scale + shift
 
 

@@ -707,9 +707,17 @@ def direction_offsets(num_directions: int = 8, scale: float = 1.0) -> jnp.ndarra
     openseg DTOffsetHelper.label_to_vector convention; its offset_helper
     module is not vendored in the reference, so the mapping is derived from
     the angle formula). For num=8: (0,1),(1,1),(1,0),(1,-1),(0,-1),(-1,-1),
-    (-1,0),(-1,1)."""
+    (-1,0),(-1,1). Only num in {4, 8} round to DISTINCT unit steps (16+
+    would alias 22.5-degree directions onto their neighbours), so larger
+    values are rejected rather than silently mis-mapped."""
     import numpy as np
 
+    if num_directions not in (4, 8):
+        raise ValueError(
+            f"direction_offsets: num_directions={num_directions} not supported "
+            "(only 4 or 8 map to distinct unit grid steps; the reference "
+            "SegFix heads use 8)"
+        )
     ang = np.arange(num_directions) * (2.0 * np.pi / num_directions)
     dy = np.round(np.sin(ang))
     dx = np.round(np.cos(ang))

@@ -365,9 +365,9 @@ class PSPNetBlurSkip(nn.Module):
         _p = p
         for i in range(self.n_layer_blurskip):
             if self.modify_blur_skip:
-                _p = SFTLikeBlock(64, dtype=self.dtype, name=f"blur_skip_sft{i}")(_p, cond)
+                _p = SFTLikeBlock(64, dtype=self.dtype, name=f"blur_skip_sft{i}")(_p, cond, train)
             else:
-                _p = SFTBlock(64, dtype=self.dtype, name=f"blur_skip_sft{i}")(_p, cond)
+                _p = SFTBlock(64, dtype=self.dtype, name=f"blur_skip_sft{i}")(_p, cond, train)
             # blocks.py ConvBlock defaults: relu + BatchNorm, no bias
             _p = ConvBlock(64, 3, 1, 1, activation="relu", norm="batch",
                            dtype=self.dtype, name=f"blur_skip_conv{i}")(_p, train)

@@ -6,7 +6,12 @@ on 8 host-platform devices.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# HARD-set (not setdefault): the boot environment exports
+# JAX_PLATFORMS=axon, and utils/cache.honor_platform_env re-asserts the
+# env value into the config for every CLI/helper - tests must pin cpu at
+# BOTH layers or the first array touch tries to build the TPU client
+# (and hangs whenever the device tunnel is unreachable).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

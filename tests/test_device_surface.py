@@ -93,3 +93,36 @@ def test_device_percentiles():
             jnp.asarray(pred[None, None]), jnp.asarray(gt[None]), percentile=pct
         )
         np.testing.assert_allclose(np.asarray(hd_dev), hd_host, rtol=1e-4, atol=1e-3)
+
+
+def test_zero_padding_invariance():
+    """Bucket-padding (engine/inference.py device path) must be exact:
+    zero-padded masks + max_len override == unpadded scores, including the
+    one-empty outlier (= max of the ORIGINAL size, not the padded one)."""
+    from csbsr_tpu.metrics.device_surface import distance_metrics_banked
+
+    rng = np.random.RandomState(3)
+    h, w = 48, 40
+    gt = _blobby(rng, h, w)
+    from scipy import ndimage
+
+    prob = ndimage.gaussian_filter(rng.rand(h, w), 3)
+    prob = (prob - prob.min()) / (prob.max() - prob.min() + 1e-9)
+    # 1.5 > max(prob)=1.0 binarises to an empty prediction -> exercises the
+    # one-empty outlier value
+    ths = np.asarray([0.2, 0.5, 0.8, 1.5])
+
+    hd0, msd0 = distance_metrics_banked(
+        jnp.asarray(prob[None]), jnp.asarray(gt[None]), jnp.asarray(ths)
+    )
+    ph, pw = 64, 64
+    pad = [(0, 0), (0, ph - h), (0, pw - w)]
+    hd1, msd1 = distance_metrics_banked(
+        jnp.pad(jnp.asarray(prob[None]), pad),
+        jnp.pad(jnp.asarray(gt[None]), pad),
+        jnp.asarray(ths),
+        max_len=jnp.float32(max(h, w)),
+    )
+    np.testing.assert_allclose(np.asarray(hd1), np.asarray(hd0), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(msd1), np.asarray(msd0), rtol=1e-5, atol=1e-5)
+    assert np.asarray(hd1)[0, -1] == max(h, w)
