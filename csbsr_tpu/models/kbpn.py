@@ -363,14 +363,22 @@ class KBPNDownBlock(nn.Module):
 class _SplitCondConv3x3(nn.Module):
     """3x3 conv over concat(features, constant cond map), with the cond part
     evaluated on the banded representation. Param paths match nn.Conv
-    (<name>/kernel, <name>/bias) over the concatenated input channels."""
+    (<name>/kernel, <name>/bias) over the concatenated input channels.
+
+    In int8 serving mode (blocks.INT8_SERVE, eval only) the dense feature
+    half — the FLOP bulk — runs int8 on the MXU like Int8Conv (same `quant`
+    calibration collection); the banded cond half is O(k·HW) and stays in
+    the compute dtype."""
 
     features: int
     cond_channels: int
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, feat_map, cond_banded):
+    def __call__(self, feat_map, cond_banded, train: bool = False):
+        from . import blocks as _blocks
+        from ..ops.quant import int8_conv
+
         cf = feat_map.shape[-1]
         kernel = self.param(
             "kernel",
@@ -379,10 +387,27 @@ class _SplitCondConv3x3(nn.Module):
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         k = kernel.astype(self.dtype)
-        out = jax.lax.conv_general_dilated(
-            feat_map.astype(self.dtype), k[:, :, :cf], (1, 1), [(1, 1)] * 2,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        calibrating = self.is_mutable_collection("quant")
+        if calibrating:
+            amax = self.variable("quant", "act_amax", lambda: jnp.zeros((), jnp.float32))
+            amax.value = jnp.maximum(
+                amax.value, jnp.max(jnp.abs(feat_map)).astype(jnp.float32)
+            )
+        if _blocks.INT8_SERVE and not train and not calibrating:
+            amax = (
+                self.get_variable("quant", "act_amax")
+                if self.has_variable("quant", "act_amax") else None
+            )
+            out = int8_conv(
+                feat_map.astype(self.dtype), kernel[:, :, :cf],
+                strides=(1, 1), padding=[(1, 1)] * 2,
+                act_amax=amax, out_dtype=self.dtype,
+            )
+        else:
+            out = jax.lax.conv_general_dilated(
+                feat_map.astype(self.dtype), k[:, :, :cf], (1, 1), [(1, 1)] * 2,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         cond_out = banded_conv3x3(cond_banded.astype(self.dtype), k[:, :, cf:])
         h, w = feat_map.shape[1:3]
         return out + materialize(cond_out, h, w) + bias.astype(out.dtype)
@@ -399,14 +424,17 @@ class SFTLayerKBPN(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, features, kernel_vec):
+    def __call__(self, features, kernel_vec, train: bool = False):
+        from .blocks import qconv
+
         cond_b = banded_from_vector(kernel_vec.astype(features.dtype))
         cc = kernel_vec.shape[-1]
         c = features.shape[-1] + cc
-        conv = lambda f, name: nn.Conv(f, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype, name=name)
-        s0 = _SplitCondConv3x3(c, cc, dtype=self.dtype, name="SFT_scale_conv0")(features, cond_b)
+        conv = lambda f, name: qconv(f, 3, padding=1, dtype=self.dtype,
+                                     name=name, train=train)
+        s0 = _SplitCondConv3x3(c, cc, dtype=self.dtype, name="SFT_scale_conv0")(features, cond_b, train)
         scale = nn.sigmoid(conv(self.out_features, "SFT_scale_conv1")(nn.leaky_relu(s0, 0.1)))
-        h0 = _SplitCondConv3x3(c, cc, dtype=self.dtype, name="SFT_shift_conv0")(features, cond_b)
+        h0 = _SplitCondConv3x3(c, cc, dtype=self.dtype, name="SFT_shift_conv0")(features, cond_b, train)
         shift = conv(self.out_features, "SFT_shift_conv1")(nn.leaky_relu(h0, 0.1))
         return features * scale + shift
 
@@ -742,7 +770,7 @@ class KBPN(nn.Module):
                 if self.kernel_sft:
                     low = SFTLayerKBPN(
                         stage * self.md_ch, dtype=self.dtype, name=f"stage{stage}_sft"
-                    )(concat_l, kernel_vec)
+                    )(concat_l, kernel_vec, train)
                 else:
                     low = concat_l
 

@@ -184,3 +184,34 @@ def test_int8_sft_layer(monkeypatch):
     y_q = m.apply({"params": v["params"]}, x, c)
     rel = float(jnp.linalg.norm(y_q - y_ref) / jnp.linalg.norm(y_ref))
     assert rel < 0.05, rel
+
+
+def test_int8_sft_layer_kbpn(monkeypatch):
+    """KBPN's banded-condition SFT: int8 serving must keep the param tree
+    identical to bf16 (checkpoint interchange), calibrate via the quant
+    collection, agree numerically, and bypass quantization when train=True."""
+    from csbsr_tpu.models.kbpn import SFTLayerKBPN
+
+    rng = np.random.RandomState(6)
+    feats = jnp.asarray(rng.rand(2, 8, 8, 24).astype(np.float32))
+    kvec = jnp.asarray(rng.rand(2, 49).astype(np.float32))
+    m = SFTLayerKBPN(out_features=24, dtype=jnp.float32)
+
+    monkeypatch.setattr(blocks_mod, "INT8_SERVE", False)
+    v = m.init(jax.random.PRNGKey(0), feats, kvec)
+    y_ref = m.apply(v, feats, kvec)
+
+    monkeypatch.setattr(blocks_mod, "INT8_SERVE", True)
+    v_q = m.init(jax.random.PRNGKey(0), feats, kvec)
+    _params_equal(v["params"], v_q["params"])
+    # calibration pass records act_amax for the split-cond convs
+    y_cal, upd = m.apply(v, feats, kvec, mutable=["quant"])
+    np.testing.assert_allclose(np.asarray(y_cal), np.asarray(y_ref), rtol=1e-5)
+    flat = jax.tree_util.tree_leaves(upd["quant"])
+    assert flat and all(float(a) > 0 for a in flat)
+    y_q = m.apply(dict(v, quant=upd["quant"]), feats, kvec)
+    rel = float(jnp.linalg.norm(y_q - y_ref) / jnp.linalg.norm(y_ref))
+    assert rel < 0.05, rel
+    # train=True must run the exact bf16 math even with INT8_SERVE on
+    y_tr = m.apply(v, feats, kvec, True)
+    np.testing.assert_allclose(np.asarray(y_tr), np.asarray(y_ref), rtol=1e-5)
