@@ -186,3 +186,39 @@ def test_sr_seg_inv_step(rng):
     model, pc, state, step = _setup(cfg, batch)
     state, metrics = step(state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_inference_for_ss_int8_serve(fixture_dirs, tmp_path):
+    """The test.py --int8_serve surface: calibrate on the first test item,
+    run the full harness in int8 serving mode, restore the bf16 mode."""
+    img_dir, mask_dir, blur_dir = fixture_dirs
+    cfg = tiny_cfg(**{
+        "INPUT.IMAGE_SIZE": [32, 32],
+        "BLUR.KERNEL_SIZE_OUTPUT": 7,
+        "DATASET.TEST_IMAGE_DIR": img_dir,
+        "DATASET.TEST_MASK_DIR": mask_dir,
+        "DATASET.TEST_BLURED_DIR": blur_dir,
+    })
+    from csbsr_tpu.data import CrackDataSetTest
+    from csbsr_tpu.engine.inference import calibrate_int8, inference_for_ss
+    from csbsr_tpu.models import model_from_cfg
+    import csbsr_tpu.models.blocks as blocks_mod
+
+    model = model_from_cfg(cfg)
+    patches0 = jnp.zeros((4, 8, 8, 3))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, patches0, None, False, train=False
+    )
+    ds = CrackDataSetTest(cfg, img_dir, mask_dir, blur_dir, "02_40")
+    try:
+        variables = calibrate_int8(model, variables, ds.get(0)[0])
+        assert "quant" in variables and blocks_mod.INT8_SERVE
+        summary = inference_for_ss(
+            cfg, model, variables, ds, output_dir=str(tmp_path / "eval_int8"),
+            test_aiu=True, test_surface_distance=False, save_images=False,
+            log_fn=lambda *a: None,
+        )
+    finally:
+        blocks_mod.INT8_SERVE = False
+    for key in ("PSNR", "SSIM", "AIU", "IoU_max"):
+        assert key in summary and np.isfinite(summary[key]), (key, summary)
