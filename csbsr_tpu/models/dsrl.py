@@ -14,6 +14,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..ops.resize import resize, adaptive_avg_pool
+from .blocks import qconv
 
 
 def _bn(train, dtype, name):
@@ -31,17 +32,19 @@ class _Bottleneck(nn.Module):
     @nn.compact
     def __call__(self, x, train=False):
         d = self.dilation
-        out = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
+        out = qconv(self.planes, 1, use_bias=False, dtype=self.dtype,
+                    name="conv1", train=train)(x)
         out = nn.relu(_bn(train, self.dtype, "bn1")(out))
-        out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
-                      padding=[(d, d)] * 2, kernel_dilation=(d, d), use_bias=False,
-                      dtype=self.dtype, name="conv2")(out)
+        out = qconv(self.planes, 3, stride=self.stride, padding=d, dilation=d,
+                    use_bias=False, dtype=self.dtype, name="conv2", train=train)(out)
         out = nn.relu(_bn(train, self.dtype, "bn2")(out))
-        out = nn.Conv(self.planes * 4, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(out)
+        out = qconv(self.planes * 4, 1, use_bias=False, dtype=self.dtype,
+                    name="conv3", train=train)(out)
         out = _bn(train, self.dtype, "bn3")(out)
         if self.use_downsample:
-            res = nn.Conv(self.planes * 4, (1, 1), strides=(self.stride, self.stride),
-                          use_bias=False, dtype=self.dtype, name="ds_conv")(x)
+            res = qconv(self.planes * 4, 1, stride=self.stride,
+                        use_bias=False, dtype=self.dtype, name="ds_conv",
+                        train=train)(x)
             res = _bn(train, self.dtype, "ds_bn")(res)
         else:
             res = x
@@ -56,8 +59,8 @@ class ResNet101OS16(nn.Module):
 
     @nn.compact
     def __call__(self, x, train=False):
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3)] * 2, use_bias=False,
-                    dtype=self.dtype, name="conv1")(x)
+        x = qconv(64, 7, stride=2, padding=3, use_bias=False,
+                  dtype=self.dtype, name="conv1", train=train)(x)
         x = nn.relu(_bn(train, self.dtype, "bn1")(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
@@ -93,10 +96,9 @@ class DRND54(nn.Module):
             # _make_conv_layers (drn.py:196-206): [conv3x3, BN, relu] * convs
             for i in range(convs):
                 s = stride if i == 0 else 1
-                x = nn.Conv(ch, (3, 3), strides=(s, s),
-                            padding=[(dilation, dilation)] * 2,
-                            kernel_dilation=(dilation, dilation), use_bias=False,
-                            dtype=self.dtype, name=f"{name}_conv{i}")(x)
+                x = qconv(ch, 3, stride=s, padding=dilation, dilation=dilation,
+                          use_bias=False, dtype=self.dtype,
+                          name=f"{name}_conv{i}", train=train)(x)
                 x = nn.relu(_bn(train, self.dtype, f"{name}_bn{i}")(x))
             return x
 
@@ -110,8 +112,8 @@ class DRND54(nn.Module):
                                 name=f"{name}_{b}")(x, train)
             return x
 
-        x = nn.Conv(16, (7, 7), padding=[(3, 3)] * 2, use_bias=False,
-                    dtype=self.dtype, name="layer0_conv")(x)
+        x = qconv(16, 7, padding=3, use_bias=False,
+                  dtype=self.dtype, name="layer0_conv", train=train)(x)
         x = nn.relu(_bn(train, self.dtype, "layer0_bn")(x))
         x = conv_layer(x, 16, 1, 1, 1, "layer1")
         x = conv_layer(x, 32, 1, 2, 1, "layer2")
@@ -146,14 +148,17 @@ class InvertedResidual(nn.Module):
         d = self.dilation
         h = x
         if self.expand_ratio != 1:
-            h = nn.Conv(hidden, (1, 1), use_bias=False, dtype=self.dtype, name="pw")(h)
+            h = qconv(hidden, 1, use_bias=False, dtype=self.dtype, name="pw",
+                      train=train)(h)
             h = _relu6(_bn(train, self.dtype, "pw_bn")(h))
+        # fully-depthwise conv: VPU-bound, int8 buys nothing - stays nn.Conv
         h = nn.Conv(hidden, (3, 3), strides=(self.stride, self.stride),
                     padding=[(d, d)] * 2, kernel_dilation=(d, d),
                     feature_group_count=hidden, use_bias=False,
                     dtype=self.dtype, name="dw")(h)
         h = _relu6(_bn(train, self.dtype, "dw_bn")(h))
-        h = nn.Conv(self.out_ch, (1, 1), use_bias=False, dtype=self.dtype, name="pw_linear")(h)
+        h = qconv(self.out_ch, 1, use_bias=False, dtype=self.dtype,
+                  name="pw_linear", train=train)(h)
         h = _bn(train, self.dtype, "pw_linear_bn")(h)
         if self.stride == 1 and inp == self.out_ch:
             return x + h
@@ -169,8 +174,8 @@ class MobileNetV2OS16(nn.Module):
 
     @nn.compact
     def __call__(self, x, train=False):
-        x = nn.Conv(32, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2, use_bias=False,
-                    dtype=self.dtype, name="stem_conv")(x)
+        x = qconv(32, 3, stride=2, padding=1, use_bias=False,
+                  dtype=self.dtype, name="stem_conv", train=train)(x)
         x = _relu6(_bn(train, self.dtype, "stem_bn")(x))
         # (t, c, n, s) rows; dilations per the current_stride walk at os=16
         settings = [
@@ -202,13 +207,14 @@ class SeparableConv(nn.Module):
     def __call__(self, x, train=False):
         d = self.dilation
         inp = x.shape[-1]
+        # fully-depthwise conv: VPU-bound, int8 buys nothing - stays nn.Conv
         x = nn.Conv(inp, (3, 3), strides=(self.stride, self.stride),
                     padding=[(d, d)] * 2, kernel_dilation=(d, d),
                     feature_group_count=inp, use_bias=False,
                     dtype=self.dtype, name="dw")(x)
         x = _bn(train, self.dtype, "dw_bn")(x)
-        return nn.Conv(self.out_ch, (1, 1), use_bias=False, dtype=self.dtype,
-                       name="pointwise")(x)
+        return qconv(self.out_ch, 1, use_bias=False, dtype=self.dtype,
+                     name="pointwise", train=train)(x)
 
 
 class XceptionBlock(nn.Module):
@@ -246,8 +252,9 @@ class XceptionBlock(nn.Module):
             h = SeparableConv(ch, s, d, dtype=self.dtype, name=f"sep{i}")(h, train)
             h = _bn(train, self.dtype, f"sep{i}_bn")(h)
         if self.planes != inp or self.stride != 1:
-            skip = nn.Conv(self.planes, (1, 1), strides=(self.stride, self.stride),
-                           use_bias=False, dtype=self.dtype, name="skip")(x)
+            skip = qconv(self.planes, 1, stride=self.stride,
+                         use_bias=False, dtype=self.dtype, name="skip",
+                         train=train)(x)
             skip = _bn(train, self.dtype, "skip_bn")(skip)
         else:
             skip = x
@@ -265,11 +272,11 @@ class AlignedXceptionOS16(nn.Module):
     def __call__(self, x, train=False):
         blk = lambda planes, reps, name, **kw: XceptionBlock(
             planes, reps, dtype=self.dtype, name=name, **kw)
-        x = nn.Conv(32, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2, use_bias=False,
-                    dtype=self.dtype, name="conv1")(x)
+        x = qconv(32, 3, stride=2, padding=1, use_bias=False,
+                  dtype=self.dtype, name="conv1", train=train)(x)
         x = nn.relu(_bn(train, self.dtype, "bn1")(x))
-        x = nn.Conv(64, (3, 3), padding=[(1, 1)] * 2, use_bias=False,
-                    dtype=self.dtype, name="conv2")(x)
+        x = qconv(64, 3, padding=1, use_bias=False,
+                  dtype=self.dtype, name="conv2", train=train)(x)
         x = nn.relu(_bn(train, self.dtype, "bn2")(x))
         x = blk(128, 2, "block1", stride=2, start_with_relu=False)(x, train)
         x = nn.relu(x)
@@ -299,15 +306,17 @@ class ASPP(nn.Module):
         rates = (6, 12, 18) if self.output_stride == 16 else (12, 24, 36)
         for i, (k, d) in enumerate([(1, 1)] + [(3, r) for r in rates]):
             p = (k // 2) * d
-            a = nn.Conv(256, (k, k), padding=[(p, p)] * 2, kernel_dilation=(d, d),
-                        use_bias=False, dtype=self.dtype, name=f"aspp{i+1}_conv")(x)
+            a = qconv(256, k, padding=p, dilation=d,
+                      use_bias=False, dtype=self.dtype, name=f"aspp{i+1}_conv",
+                      train=train)(x)
             outs.append(nn.relu(_bn(train, self.dtype, f"aspp{i+1}_bn")(a)))
         g = adaptive_avg_pool(x, (1, 1))
         g = nn.Conv(256, (1, 1), use_bias=False, dtype=self.dtype, name="gap_conv")(g)
         g = nn.relu(_bn(train, self.dtype, "gap_bn")(g))
         g = jnp.broadcast_to(g, (x.shape[0], x.shape[1], x.shape[2], 256))
         out = jnp.concatenate(outs + [g], axis=-1)
-        out = nn.Conv(256, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(out)
+        out = qconv(256, 1, use_bias=False, dtype=self.dtype, name="conv1",
+                    train=train)(out)
         out = nn.relu(_bn(train, self.dtype, "bn1")(out))
         return nn.Dropout(0.5, deterministic=not train)(out)
 
@@ -323,19 +332,21 @@ class _Decoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, low, train=False):
-        low = nn.Conv(48, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(low)
+        low = qconv(48, 1, use_bias=False, dtype=self.dtype, name="conv1",
+                    train=train)(low)
         low = nn.relu(_bn(train, self.dtype, "bn1")(low))
         x = resize(x, low.shape[1:3], method="bilinear", align_corners=True)
         x = jnp.concatenate([x, low], axis=-1)
-        x = nn.Conv(256, (3, 3), padding=[(1, 1)] * 2, use_bias=False, dtype=self.dtype,
-                    name="last0")(x)
+        x = qconv(256, 3, padding=1, use_bias=False, dtype=self.dtype,
+                  name="last0", train=train)(x)
         x = nn.relu(_bn(train, self.dtype, "last0_bn")(x))
         x = nn.Dropout(0.5, deterministic=not train)(x)
-        x = nn.Conv(self.mid2, (3, 3), padding=[(1, 1)] * 2, use_bias=False,
-                    dtype=self.dtype, name="last1")(x)
+        x = qconv(self.mid2, 3, padding=1, use_bias=False,
+                  dtype=self.dtype, name="last1", train=train)(x)
         x = nn.relu(_bn(train, self.dtype, "last1_bn")(x))
         x = nn.Dropout(0.1, deterministic=not train)(x)
-        x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="last2")(x)
+        x = qconv(self.out_channels, 1, dtype=self.dtype, name="last2",
+                  train=train)(x)
         return nn.sigmoid(x) if self.sigmoid_out else x
 
 
@@ -346,11 +357,14 @@ class _EDSRConv(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        y = nn.Conv(self.out_ch, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype, name="conv0")(x)
+    def __call__(self, x, train: bool = False):
+        y = qconv(self.out_ch, 3, padding=1, dtype=self.dtype, name="conv0",
+                  train=train)(x)
         y = nn.relu(y)
-        y = nn.Conv(self.out_ch, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype, name="conv1")(y)
-        res = nn.Conv(self.out_ch, (1, 1), use_bias=False, dtype=self.dtype, name="res")(x)
+        y = qconv(self.out_ch, 3, padding=1, dtype=self.dtype, name="conv1",
+                  train=train)(y)
+        res = qconv(self.out_ch, 1, use_bias=False, dtype=self.dtype,
+                    name="res", train=train)(x)
         return y + res
 
 
@@ -393,14 +407,16 @@ class DSRL(nn.Module):
         # EDSR chain: /4 decoder output -> x(scale_factor * 4) via 2x deconvs
         chans = [64, 64, 32, 16] if self.scale_factor == 4 else [64, 32, 16]
         sr_up = sr
+        from .blocks import qdeconv
+
         for i, ch in enumerate(chans):
             # torch ConvTranspose2d(2, stride=2, padding=0) => lax pad k-1-p=1
-            sr_up = nn.ConvTranspose(ch, (2, 2), strides=(2, 2), padding=[(1, 1)] * 2,
-                                     transpose_kernel=True, dtype=self.dtype,
-                                     name=f"up_sr_{i}")(sr_up)
-            sr_up = _EDSRConv(ch, dtype=self.dtype, name=f"up_edsr_{i}")(sr_up)
-        sr_up = nn.Conv(3, (1, 1), dtype=self.dtype, name="up_conv_last")(sr_up)
+            sr_up = qdeconv(ch, 2, stride=2, padding=0, dtype=self.dtype,
+                            name=f"up_sr_{i}", train=train)(sr_up)
+            sr_up = _EDSRConv(ch, dtype=self.dtype, name=f"up_edsr_{i}")(sr_up, train)
+        sr_up = qconv(3, 1, dtype=self.dtype, name="up_conv_last", train=train)(sr_up)
 
-        fea_seg = nn.Conv(3, (1, 1), dtype=self.dtype, name="pointwise_conv")(seg_up)
+        fea_seg = qconv(3, 1, dtype=self.dtype, name="pointwise_conv",
+                        train=train)(seg_up)
         fea_seg = nn.relu(_bn(train, self.dtype, "pointwise_bn")(fea_seg))
         return seg_up, sr_up, fea_seg, sr_up

@@ -215,3 +215,72 @@ def test_int8_sft_layer_kbpn(monkeypatch):
     # train=True must run the exact bf16 math even with INT8_SERVE on
     y_tr = m.apply(v, feats, kvec, True)
     np.testing.assert_allclose(np.asarray(y_tr), np.asarray(y_ref), rtol=1e-5)
+
+
+def test_int8_crackformer_head(monkeypatch):
+    """CrackFormer quantizes through the qconv factory: identical param
+    tree, calibration pass exactly bf16, whole-net int8 serve runs finite.
+
+    No whole-net deviation bound on purpose: the encoder's max-pool-with-
+    indices routes the decoder by argmax, so any quantization perturbation
+    can flip indices - a DISCRETE routing change whose size is checkpoint-
+    dependent, not a smooth numeric error (tools/int8_accuracy.py is the
+    per-checkpoint gate). The smooth-path numerics are pinned on a single
+    TFBlock below instead."""
+    from csbsr_tpu.models.crackformer import CrackFormer, TFBlock
+
+    x = jnp.asarray(np.random.RandomState(7).rand(1, 32, 32, 3).astype(np.float32))
+    m = CrackFormer(dtype=jnp.float32)
+
+    monkeypatch.setattr(blocks_mod, "INT8_SERVE", False)
+    v = m.init(jax.random.PRNGKey(0), x, False)
+    fuse_ref, _ = m.apply(v, x, False)
+
+    monkeypatch.setattr(blocks_mod, "INT8_SERVE", True)
+    v_q = m.init(jax.random.PRNGKey(0), x, False)
+    _params_equal(v["params"], v_q["params"])
+    (fuse_cal, _), upd = m.apply({"params": v["params"]}, x, False, mutable=["quant"])
+    np.testing.assert_allclose(np.asarray(fuse_cal), np.asarray(fuse_ref), rtol=1e-5)
+    fuse_q, sides_q = m.apply({"params": v["params"], "quant": upd["quant"]}, x, False)
+    assert np.isfinite(np.asarray(fuse_q)).all() and np.isfinite(np.asarray(sides_q)).all()
+
+    # smooth path (no pooling): one TFBlock must agree closely
+    xb = jnp.asarray(np.random.RandomState(9).rand(1, 16, 16, 64).astype(np.float32))
+    tb = TFBlock(64, dtype=jnp.float32)
+    monkeypatch.setattr(blocks_mod, "INT8_SERVE", False)
+    vb = tb.init(jax.random.PRNGKey(1), xb)
+    yb_ref = tb.apply(vb, xb)
+    monkeypatch.setattr(blocks_mod, "INT8_SERVE", True)
+    _, updb = tb.apply({"params": vb["params"]}, xb, mutable=["quant"])
+    yb_q = tb.apply({"params": vb["params"], "quant": updb["quant"]}, xb)
+    rel = float(jnp.linalg.norm(yb_q - yb_ref) / (jnp.linalg.norm(yb_ref) + 1e-9))
+    assert rel < 0.05, rel
+
+
+def test_int8_dsrl_head(monkeypatch):
+    from csbsr_tpu.models.dsrl import DSRL
+
+    x = jnp.asarray(np.random.RandomState(8).rand(1, 32, 32, 3).astype(np.float32))
+    m = DSRL(num_classes=1, scale_factor=2, backbone="mobilenet", dtype=jnp.float32)
+
+    monkeypatch.setattr(blocks_mod, "INT8_SERVE", False)
+    v = m.init(jax.random.PRNGKey(0), x, False)
+    seg_ref, sr_ref, _, _ = m.apply(v, x, False)
+
+    monkeypatch.setattr(blocks_mod, "INT8_SERVE", True)
+    v_q = m.init(jax.random.PRNGKey(0), x, False)
+    _params_equal(v["params"], v_q["params"])
+    (out_cal, upd) = m.apply(
+        {"params": v["params"], "batch_stats": v["batch_stats"]}, x, False,
+        mutable=["quant"],
+    )
+    np.testing.assert_allclose(np.asarray(out_cal[0]), np.asarray(seg_ref), rtol=1e-5)
+    seg_q, sr_q, _, _ = m.apply(
+        {"params": v["params"], "batch_stats": v["batch_stats"],
+         "quant": upd["quant"]}, x, False,
+    )
+    assert float(jnp.abs(seg_q - seg_ref).max()) < 0.06  # sigmoid output
+    # random-init numeric bound for a 19-block depthwise chain; real use is
+    # gated on tools/int8_accuracy.py per checkpoint
+    rel = float(jnp.linalg.norm(sr_q - sr_ref) / (jnp.linalg.norm(sr_ref) + 1e-9))
+    assert rel < 0.10, rel
