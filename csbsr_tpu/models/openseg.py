@@ -9,9 +9,12 @@ capability surface; rebuilt here so the surface is complete.
 
 Conventions: NHWC; nets return raw logits (aux, main) upsampled to the
 input size with align_corners=True, mirroring the torch forward contracts.
-The backbone is the openseg 'deepbase_resnet101_dilated8' (3-conv deep-base
-stem, stages 3/4 dilated 2/4 at stride 1, output stride 8), returning the
-four stage features like the torch backbone's list output.
+The default backbone is the openseg 'deepbase_resnet101_dilated8' (3-conv
+deep-base stem, stages 3/4 dilated 2/4 at stride 1, output stride 8),
+returning the four stage features like the torch backbone's list output;
+every `_ResNetNet` subclass takes a `backbone=` arch name resolved through
+`resnet_zoo.ARCH_SPECS` (the BackboneSelector namespace: plain/deepbase
+resnets, resnext, resnest, wide_resnet, dilated8/16 variants).
 """
 from __future__ import annotations
 
@@ -24,6 +27,7 @@ import flax.linen as nn
 
 from ..ops.resize import resize
 from .hrnet_ocr import HRNetW48Backbone, ObjectAttention, SpatialGather, SpatialOCR
+from .resnet_zoo import ResNetZooBackbone
 
 
 def _bn(train, dtype, name):
@@ -41,68 +45,13 @@ def _conv_bn_relu(x, ch, k, train, dtype, name, dilation=1, bias=True):
 # ---------------------------------------------------------------- backbone
 
 
-class _DeepBaseBottleneck(nn.Module):
-    planes: int
-    stride: int = 1
-    dilation: int = 1
-    use_downsample: bool = False
-    dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, x, train=False):
-        d = self.dilation
-        out = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
-        out = nn.relu(_bn(train, self.dtype, "bn1")(out))
-        out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
-                      padding=[(d, d)] * 2, kernel_dilation=(d, d), use_bias=False,
-                      dtype=self.dtype, name="conv2")(out)
-        out = nn.relu(_bn(train, self.dtype, "bn2")(out))
-        out = nn.Conv(self.planes * 4, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(out)
-        out = _bn(train, self.dtype, "bn3")(out)
-        if self.use_downsample:
-            res = nn.Conv(self.planes * 4, (1, 1), strides=(self.stride, self.stride),
-                          use_bias=False, dtype=self.dtype, name="ds_conv")(x)
-            res = _bn(train, self.dtype, "ds_bn")(res)
-        else:
-            res = x
-        return nn.relu(out + res)
-
-
-class DeepBaseResNet101Dilated8(nn.Module):
-    """openseg 'deepbase_resnet101_dilated8': 3x conv3x3 deep-base stem
-    (64, 64, 128) + maxpool, bottleneck stages (3, 4, 23, 3) with layer3/4
-    at stride 1 dilation 2/4 (resnet_backbone.py DilatedResnetBackbone).
-    Returns (layer1, layer2, layer3, layer4) = x[-4:] of the torch list."""
-
-    dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, x, train=False):
-        # deep-base stem: conv3x3 s2 -> conv3x3 -> conv3x3 (64, 64, 128) + pool
-        x = nn.Conv(64, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2, use_bias=False,
-                    dtype=self.dtype, name="stem1_conv")(x)
-        x = nn.relu(_bn(train, self.dtype, "stem1_bn")(x))
-        x = nn.Conv(64, (3, 3), padding=[(1, 1)] * 2, use_bias=False,
-                    dtype=self.dtype, name="stem2_conv")(x)
-        x = nn.relu(_bn(train, self.dtype, "stem2_bn")(x))
-        x = nn.Conv(128, (3, 3), padding=[(1, 1)] * 2, use_bias=False,
-                    dtype=self.dtype, name="stem3_conv")(x)
-        x = nn.relu(_bn(train, self.dtype, "stem3_bn")(x))
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
-
-        def layer(x, planes, blocks, stride, dilation, name):
-            for b in range(blocks):
-                s = stride if b == 0 else 1
-                use_ds = b == 0 and (s != 1 or x.shape[-1] != planes * 4)
-                x = _DeepBaseBottleneck(planes, s, dilation, use_ds, dtype=self.dtype,
-                                        name=f"{name}_{b}")(x, train)
-            return x
-
-        x1 = layer(x, 64, 3, 1, 1, "layer1")     # 256 @ /4
-        x2 = layer(x1, 128, 4, 2, 1, "layer2")   # 512 @ /8
-        x3 = layer(x2, 256, 23, 1, 2, "layer3")  # 1024 @ /8 dilated
-        x4 = layer(x3, 512, 3, 1, 4, "layer4")   # 2048 @ /8 dilated
-        return x1, x2, x3, x4
+# The default net backbone, openseg 'deepbase_resnet101_dilated8' (3x conv3x3
+# deep-base stem + maxpool, bottleneck stages (3,4,23,3), layer3/4 at stride 1
+# dilation 2/4 — resnet_backbone.py DilatedResnetBackbone), is the zoo's
+# default arch; the historical name stays exported.  The full arch namespace
+# (resnext / resnest / wide_resnet / plain+deepbase resnets, dilated8/16)
+# lives in `resnet_zoo.py`.
+DeepBaseResNet101Dilated8 = ResNetZooBackbone
 
 
 # ---------------------------------------------------------------- oc blocks
@@ -383,14 +332,18 @@ def offset_sample(x, offset):
 
 
 class _ResNetNet(nn.Module):
-    """Shared skeleton: deepbase-resnet101-dilated8 backbone + dsn head on
-    layer3 + a main head on layer4; both upsampled to input size."""
+    """Shared skeleton: ResNet-family backbone (default
+    deepbase-resnet101-dilated8; any `resnet_zoo.ARCH_SPECS` name, mirroring
+    the configer-driven BackboneSelector) + dsn head on layer3 + a main head
+    on layer4; both upsampled to input size."""
 
     num_classes: int = 1
+    backbone: str = "deepbase_resnet101_dilated8"
     dtype: Any = jnp.float32
 
     def backbone_feats(self, x, train):
-        return DeepBaseResNet101Dilated8(dtype=self.dtype, name="backbone")(x, train)
+        return ResNetZooBackbone(arch=self.backbone, dtype=self.dtype,
+                                 name="backbone")(x, train)
 
     def dsn(self, f, train, dropout=0.05):
         f = _conv_bn_relu(f, 512, 3, train, self.dtype, "dsn", bias=True)
