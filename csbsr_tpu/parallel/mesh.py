@@ -88,6 +88,63 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 
+def _largest_divisible_dim(shape, axis_size: int) -> Optional[int]:
+    for d in sorted(range(len(shape)), key=lambda i: (-shape[i], i)):
+        if shape[d] >= axis_size and shape[d] % axis_size == 0:
+            return d
+    return None
+
+
+def leaf_shard_spec(x, mesh: Mesh, axis: str = "data", min_size: int = 16384) -> P:
+    """PartitionSpec sharding one array's largest axis-divisible dim on
+    `axis`; small or indivisible leaves replicate."""
+    if not hasattr(x, "shape") or x.ndim == 0 or x.size < min_size:
+        return P()
+    d = _largest_divisible_dim(x.shape, mesh.shape[axis])
+    if d is None:
+        return P()
+    spec = [None] * x.ndim
+    spec[d] = axis
+    return P(*spec)
+
+
+def zero1_shardings(state, mesh: Mesh, axis: str = "data",
+                    params_too: bool = False, min_size: int = 16384):
+    """ZeRO-style sharding pytree for a train state, over the DP axis.
+
+    The reference replicates everything per GPU (DataParallel); on TPU the
+    optimizer moments are the cheapest memory to win back: Adam m/v are 2x
+    the f32 params, and their update is elementwise, so sharding them over
+    'data' costs nothing extra in communication beyond the gradient psum
+    GSPMD already emits (= ZeRO-1).  With ``params_too`` the params shard
+    the same way (ZeRO-3/FSDP flavor): XLA all-gathers each weight at its
+    use sites, trading a per-layer all-gather for (N-1)/N of the weight
+    memory - the lever that matters when remat is forced by HBM (PERF.md
+    round-2 analysis).
+
+    Everything else in the train state (step counters, phase scalars, BN
+    stats) replicates.  Use the returned pytree both to ``device_put`` the
+    state and as the train step's ``out_shardings`` so state-out matches
+    state-in and the loop compiles once.
+    """
+    def spec_of(x):
+        return NamedSharding(mesh, leaf_shard_spec(x, mesh, axis, min_size))
+
+    repl = replicated(mesh)
+    sh = jax.tree_util.tree_map(lambda _: repl, state)
+    sh = sh.replace(opt_state=jax.tree_util.tree_map(spec_of, state.opt_state))
+    if params_too:
+        sh = sh.replace(params=jax.tree_util.tree_map(spec_of, state.params))
+    return sh
+
+
+def shard_state_zero1(state, mesh: Mesh, axis: str = "data",
+                      params_too: bool = False, min_size: int = 16384):
+    """Place a train state per `zero1_shardings` (see its docstring)."""
+    sh = zero1_shardings(state, mesh, axis, params_too, min_size)
+    return jax.tree_util.tree_map(jax.device_put, state, sh)
+
+
 def replicate_state(tree, mesh: Mesh):
     """Replicate a host-identical pytree (train state) over a possibly
     multi-host mesh. Each process must hold the same values (same seed =>

@@ -104,6 +104,47 @@ def test_train_step_runs_and_loss_decreases(rng):
     assert losses[-1] < losses[0]
 
 
+def test_zero1_state_sharding_matches_replicated(rng):
+    """ZeRO-1/FSDP state placement (parallel/mesh.py zero1_shardings): the
+    step runs with optimizer moments (and optionally params) sharded over
+    the DP axis and produces the same numbers as the replicated layout."""
+    from csbsr_tpu.parallel import replicate_state, shard_state_zero1
+
+    cfg = tiny_cfg(**{
+        "SOLVER.SR_PRETRAIN_ITER": [0, 0],
+        "SOLVER.SR_SR_MODULE_PRETRAIN_ITER": [0, 0],
+        "SOLVER.SR_KERNEL_MODULE_PRETRAIN_ITER": [0, 0],
+        "INPUT.IMAGE_SIZE": [16, 16],
+    })
+    batch = make_batch(rng, hw=16)
+    model, pc, state, step = _setup(cfg, batch)
+    mesh = make_mesh()
+    sb = shard_batch(batch, mesh)
+    key = jax.random.PRNGKey(11)
+
+    s_rep = replicate_state(state, mesh)
+    out_rep, m_rep = step(s_rep, sb, key)
+
+    s_z1 = shard_state_zero1(state, mesh, min_size=64)
+    dist = [l for l in jax.tree_util.tree_leaves(s_z1.opt_state)
+            if hasattr(l, "sharding") and not l.sharding.is_fully_replicated]
+    assert dist, "no optimizer leaf actually sharded"
+    # a sharded leaf holds 1/8 of the array per device
+    l0 = max(dist, key=lambda l: l.size)
+    local = l0.addressable_shards[0].data.size
+    assert local * mesh.devices.size == l0.size
+    out_z1, m_z1 = step(s_z1, sb, key)
+    assert abs(float(m_z1["loss"]) - float(m_rep["loss"])) < 1e-5
+
+    s_z3 = shard_state_zero1(state, mesh, params_too=True, min_size=64)
+    out_z3, m_z3 = step(s_z3, sb, key)
+    assert abs(float(m_z3["loss"]) - float(m_rep["loss"])) < 1e-5
+    pr = jax.device_get(out_rep.params)
+    pz = jax.device_get(out_z3.params)
+    for a, b in zip(jax.tree_util.tree_leaves(pr), jax.tree_util.tree_leaves(pz)):
+        np.testing.assert_allclose(a, b, atol=2e-5, rtol=2e-5)
+
+
 def test_grad_masks_freeze_sr_during_kernel_window(rng):
     cfg = tiny_cfg()
     batch = make_batch(rng)
