@@ -125,6 +125,10 @@ _C.TPU.REMAT_SEG = False  # jax.checkpoint the segmentation head too
 # keeps full f32 torch.optim state). Second moment stays f32 (it needs the
 # exponent range near zero).
 _C.TPU.OPT_MU_DTYPE = "float32"
+# ZeRO state sharding over the data axis: '' (replicate, the torch-parity
+# default), 'opt' (ZeRO-1: shard Adam moments) or 'full' (also shard params,
+# FSDP-style; XLA all-gathers weights at their use sites).
+_C.TPU.ZERO1 = ""
 _C.TPU.DEGRADE_ON_DEVICE = True  # fuse blur+downsample into the train step
 # oriented-weight variant: "exp" (the reference's active classes) or
 # "linear" (its commented-out Gaussian-conv alternatives,

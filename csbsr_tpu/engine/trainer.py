@@ -224,7 +224,19 @@ def do_train(
         state = replicate_state(state, mesh)
 
     group_ids = grad_group_ids(state.params)
-    step_fn = jax.jit(build_train_step(cfg, model, pc, group_ids), donate_argnums=(0,))
+    step_jit_kwargs = {}
+    if cfg.TPU.ZERO1:
+        # ZeRO-1 ('opt') / FSDP ('full') placement over the data axis; pin
+        # the step's state output to the same shardings so state-out feeds
+        # state-in without a reshard or recompile (parallel/mesh.py).
+        from ..parallel.mesh import replicated, shard_state_zero1, zero1_shardings
+
+        params_too = cfg.TPU.ZERO1 == "full"
+        state = shard_state_zero1(state, mesh, params_too=params_too)
+        state_sh = zero1_shardings(state, mesh, params_too=params_too)
+        step_jit_kwargs["out_shardings"] = (state_sh, replicated(mesh))
+    step_fn = jax.jit(build_train_step(cfg, model, pc, group_ids),
+                      donate_argnums=(0,), **step_jit_kwargs)
     eval_fn = jax.jit(build_eval_step(cfg, model)) if eval_batches is not None else None
 
     logging = {"loss": 0.0, "seg_loss": 0.0, "sr_loss": 0.0}

@@ -87,6 +87,13 @@ def test_do_train_dsrl(rng, tmp_path):
     _run_do_train(cfg, rng, tmp_path, iters=2, hw=64)
 
 
+def test_do_train_zero1_full(rng, tmp_path):
+    """TPU.ZERO1='full': the host loop trains with FSDP-placed state
+    (params + Adam moments sharded over 'data'), evals, and checkpoints."""
+    rows, _ = _run_do_train(tiny_cfg(**{"TPU.ZERO1": "full"}), rng, tmp_path)
+    assert any("eval/iou@0.5" in r for r in rows)
+
+
 def test_do_train_sr_seg_inv(rng, tmp_path):
     cfg = tiny_cfg(**{"MODEL.SR_SEG_INV": True, "SOLVER.SR_LOSS_FUNC": "L1"})
     _run_do_train(cfg, rng, tmp_path)
