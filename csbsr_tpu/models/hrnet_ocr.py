@@ -25,11 +25,23 @@ import flax.linen as nn
 from ..ops.resize import resize
 from .blocks import qconv
 
-W48_STAGES = {
-    "stage2": dict(num_modules=1, num_branches=2, num_blocks=4, channels=(48, 96)),
-    "stage3": dict(num_modules=4, num_branches=3, num_blocks=4, channels=(48, 96, 192)),
-    "stage4": dict(num_modules=3, num_branches=4, num_blocks=4, channels=(48, 96, 192, 384)),
-}
+def hrnet_stages(width: int):
+    """hrnet_config.py: hrnet18/32/48/64 share one topology - branch
+    channels (w, 2w, 4w, 8w), modules 1/4/3, 4 BasicBlocks per branch.
+    (hrnet2x20 / HighResolutionNext is a structurally different
+    experimental net upstream - 2 stem branches, 5 stage-4 branches - and
+    is not rebuilt; no reference recipe selects it.)"""
+    return {
+        "stage2": dict(num_modules=1, num_branches=2, num_blocks=4,
+                       channels=(width, width * 2)),
+        "stage3": dict(num_modules=4, num_branches=3, num_blocks=4,
+                       channels=(width, width * 2, width * 4)),
+        "stage4": dict(num_modules=3, num_branches=4, num_blocks=4,
+                       channels=(width, width * 2, width * 4, width * 8)),
+    }
+
+
+W48_STAGES = hrnet_stages(48)
 
 
 def _bn(train, dtype, name):
@@ -130,12 +142,16 @@ class HighResolutionModule(nn.Module):
 
 
 class HRNetW48Backbone(nn.Module):
-    """hrnet_backbone.py:295-560 (hrnet48)."""
+    """hrnet_backbone.py:295-560.  `width` selects the hrnet18/32/48/64
+    config row (hrnet_config.py MODEL_CONFIGS); the default 48 is the
+    CSBSR-shipped backbone, hence the class name."""
 
     dtype: Any = jnp.float32
+    width: int = 48
 
     @nn.compact
     def __call__(self, x, train=False):
+        stages = hrnet_stages(self.width)
         x = _conv(64, 3, 2, 1, self.dtype, "conv1", train=train)(x)
         x = nn.relu(_bn(train, self.dtype, "bn1")(x))
         x = _conv(64, 3, 2, 1, self.dtype, "conv2", train=train)(x)
@@ -164,17 +180,17 @@ class HRNetW48Backbone(nn.Module):
                     outs.append(t)
             return outs
 
-        xs = transition([x], W48_STAGES["stage2"]["channels"], "transition1")
-        for m in range(W48_STAGES["stage2"]["num_modules"]):
-            xs = HighResolutionModule(W48_STAGES["stage2"]["channels"], dtype=self.dtype,
+        xs = transition([x], stages["stage2"]["channels"], "transition1")
+        for m in range(stages["stage2"]["num_modules"]):
+            xs = HighResolutionModule(stages["stage2"]["channels"], dtype=self.dtype,
                                       name=f"stage2_m{m}")(xs, train)
-        xs = transition(xs, W48_STAGES["stage3"]["channels"], "transition2")
-        for m in range(W48_STAGES["stage3"]["num_modules"]):
-            xs = HighResolutionModule(W48_STAGES["stage3"]["channels"], dtype=self.dtype,
+        xs = transition(xs, stages["stage3"]["channels"], "transition2")
+        for m in range(stages["stage3"]["num_modules"]):
+            xs = HighResolutionModule(stages["stage3"]["channels"], dtype=self.dtype,
                                       name=f"stage3_m{m}")(xs, train)
-        xs = transition(xs, W48_STAGES["stage4"]["channels"], "transition3")
-        for m in range(W48_STAGES["stage4"]["num_modules"]):
-            xs = HighResolutionModule(W48_STAGES["stage4"]["channels"], dtype=self.dtype,
+        xs = transition(xs, stages["stage4"]["channels"], "transition3")
+        for m in range(stages["stage4"]["num_modules"]):
+            xs = HighResolutionModule(stages["stage4"]["channels"], dtype=self.dtype,
                                       name=f"stage4_m{m}")(xs, train)
         return xs
 

@@ -48,6 +48,20 @@ def test_hrnet_ocr_shapes():
     assert aux.shape == (1, 64, 64, 1)
 
 
+def test_hrnet_width_variants():
+    """hrnet18/32/64 are the W48 topology at width w (hrnet_config.py
+    MODEL_CONFIGS); branch channels scale (w, 2w, 4w, 8w)."""
+    from csbsr_tpu.models.hrnet_ocr import HRNetW48Backbone
+
+    for w in (18, 32):
+        m = HRNetW48Backbone(width=w)
+        out = jax.eval_shape(
+            lambda r, x, m=m: m.apply(m.init(r, x), x),
+            jax.random.PRNGKey(0), jax.ShapeDtypeStruct((1, 32, 32, 3), jnp.float32))
+        assert [o.shape[-1] for o in out] == [w, 2 * w, 4 * w, 8 * w]
+        assert out[0].shape == (1, 8, 8, w)
+
+
 def test_dsrl_shapes():
     from csbsr_tpu.models.dsrl import DSRL
 
