@@ -123,6 +123,10 @@ def build_eval_step(cfg, model):
 
 
 def save_checkpoint(output_dir: str, state: TrainState, iteration: int):
+    """Orbax save. The arrays go in as-is (no device_get): under multi-host
+    and/or TPU.ZERO1 the leaves are global jax.Arrays sharded across
+    processes, and orbax writes each shard from the process that owns it -
+    so this MUST be called collectively from every process (do_train does)."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(os.path.join(output_dir, "checkpoints", str(iteration)))
@@ -130,9 +134,9 @@ def save_checkpoint(output_dir: str, state: TrainState, iteration: int):
     ckptr.save(
         path,
         {
-            "params": jax.device_get(state.params),
-            "batch_stats": jax.device_get(state.batch_stats),
-            "opt_state": jax.device_get(state.opt_state),
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
             "step": int(state.step),
         },
         force=True,
@@ -145,14 +149,18 @@ def restore_checkpoint(output_dir: str, state: TrainState, iteration: int) -> Tr
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(os.path.join(output_dir, "checkpoints", str(iteration)))
-    ckptr = ocp.StandardCheckpointer()
-    template = {
-        "params": jax.device_get(state.params),
-        "batch_stats": jax.device_get(state.batch_stats),
-        "opt_state": jax.device_get(state.opt_state),
-        "step": 0,
-    }
-    restored = ckptr.restore(path, template)
+    # no device_get templates (the live state may be ZeRO-sharded across
+    # processes, engine save path) and no sharding-metadata replay (the
+    # checkpoint may come from a different topology): every host restores
+    # plain np arrays and re-places them afterwards
+    import numpy as onp
+
+    live = {"params": state.params, "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state, "step": 0}
+    restore_args = jax.tree_util.tree_map(
+        lambda _: ocp.RestoreArgs(restore_type=onp.ndarray), live)
+    restored = ocp.PyTreeCheckpointer().restore(path, item=live,
+                                                restore_args=restore_args)
     return state.replace(
         params=restored["params"],
         batch_stats=restored["batch_stats"],
@@ -226,14 +234,17 @@ def do_train(
     group_ids = grad_group_ids(state.params)
     step_jit_kwargs = {}
     if cfg.TPU.ZERO1:
+        if cfg.TPU.ZERO1 not in ("opt", "full"):
+            raise ValueError(
+                f"TPU.ZERO1 must be '', 'opt' or 'full', got {cfg.TPU.ZERO1!r}")
         # ZeRO-1 ('opt') / FSDP ('full') placement over the data axis; pin
         # the step's state output to the same shardings so state-out feeds
         # state-in without a reshard or recompile (parallel/mesh.py).
-        from ..parallel.mesh import replicated, shard_state_zero1, zero1_shardings
+        from ..parallel.mesh import replicated, zero1_shardings
 
-        params_too = cfg.TPU.ZERO1 == "full"
-        state = shard_state_zero1(state, mesh, params_too=params_too)
-        state_sh = zero1_shardings(state, mesh, params_too=params_too)
+        state_sh = zero1_shardings(state, mesh,
+                                   params_too=cfg.TPU.ZERO1 == "full")
+        state = jax.tree_util.tree_map(jax.device_put, state, state_sh)
         step_jit_kwargs["out_shardings"] = (state_sh, replicated(mesh))
     step_fn = jax.jit(build_train_step(cfg, model, pc, group_ids),
                       donate_argnums=(0,), **step_jit_kwargs)
@@ -266,10 +277,11 @@ def do_train(
             logging = {k: 0.0 for k in logging}
             tic = time.time()
 
-        if (save_step and iteration % save_step == 0 and not debug
-                and jax.process_index() == 0):
+        if save_step and iteration % save_step == 0 and not debug:
+            # collective: every process writes its addressable shards
             path = save_checkpoint(cfg.OUTPUT_DIR, state, iteration)
-            log_fn(f"=====> Save Checkpoint to {path}")
+            if jax.process_index() == 0:
+                log_fn(f"=====> Save Checkpoint to {path}")
 
         if eval_fn is not None and eval_step_every and iteration % eval_step_every == 0:
             scores: Dict[str, list] = {}

@@ -146,8 +146,15 @@ class _Bottleneck(nn.Module):
             res = x
             if self.avg_down:
                 if self.stride > 1:
-                    res = nn.avg_pool(res, (self.stride, self.stride),
-                                      strides=(self.stride, self.stride))
+                    # torch AvgPool2d(stride, stride, ceil_mode=True,
+                    # count_include_pad=False) (resnest_models.py:307): pad
+                    # bottom/right to a stride multiple, exclude the padding
+                    s = self.stride
+                    ph = (-res.shape[1]) % s
+                    pw = (-res.shape[2]) % s
+                    res = nn.avg_pool(res, (s, s), strides=(s, s),
+                                      padding=[(0, ph), (0, pw)],
+                                      count_include_pad=False)
                 res = nn.Conv(self.planes * 4, (1, 1), use_bias=False,
                               dtype=self.dtype, name="ds_conv")(res)
             else:
@@ -225,16 +232,26 @@ class WiderResNetA2Backbone(nn.Module):
 _LAYERS = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3), 50: (3, 4, 6, 3),
            101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}
 
-# arch -> spec; exactly the names resnet_backbone.py:131-288 accepts (live ones)
+# arch -> spec; exactly the names resnet_backbone.py:137-288 dispatches on
+# (the live elif chain - note its asymmetries: resnet18 only ships deepbase,
+# resnet34 only plain, resnet152 only deepbase+dilated)
+_RESNET_NAMES = (
+    [f"deepbase_resnet18{d}" for d in ("", "_dilated8", "_dilated16")]
+    + [f"resnet34{d}" for d in ("", "_dilated8", "_dilated16")]
+    + [f"resnet50{d}" for d in ("", "_dilated8", "_dilated16")]
+    + [f"deepbase_resnet50{d}" for d in ("", "_dilated8", "_dilated16")]
+    + [f"resnet101{d}" for d in ("", "_dilated8", "_dilated16")]
+    + [f"deepbase_resnet101{d}" for d in ("", "_dilated8", "_dilated16")]
+    + [f"deepbase_resnet152{d}" for d in ("_dilated8", "_dilated16")]
+)
 ARCH_SPECS = {}
-for _depth in (18, 34, 50, 101, 152):
-    for _deep in (False, True):
-        for _dil in (1, 8, 16):
-            _name = ("deepbase_" if _deep else "") + f"resnet{_depth}" + \
-                    ("" if _dil == 1 else f"_dilated{_dil}")
-            ARCH_SPECS[_name] = dict(block="basic" if _depth <= 34 else "bottleneck",
-                                     layers=_LAYERS[_depth], deep_stem=_deep,
-                                     stem_width=64, dilate=_dil)
+for _name in _RESNET_NAMES:
+    _deep = _name.startswith("deepbase_")
+    _depth = int(_name.removeprefix("deepbase_").removeprefix("resnet").split("_")[0])
+    _dil = 8 if _name.endswith("dilated8") else (16 if _name.endswith("dilated16") else 1)
+    ARCH_SPECS[_name] = dict(block="basic" if _depth <= 34 else "bottleneck",
+                             layers=_LAYERS[_depth], deep_stem=_deep,
+                             stem_width=64, dilate=_dil)
 for _w in (8, 16, 32, 48):
     ARCH_SPECS[f"resnext101_32x{_w}d_dilated8"] = dict(
         block="bottleneck", layers=_LAYERS[101], deep_stem=False, stem_width=64,

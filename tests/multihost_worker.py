@@ -89,7 +89,34 @@ gbatch = shard_batch(local_batch, mesh)
 assert gbatch["hr"].shape[0] == 8, gbatch["hr"].shape  # global batch
 new_state, metrics = step(state, gbatch, rng)
 loss = float(metrics["loss"])
+
+# ZeRO/FSDP across the 2-process mesh: same step, params + moments sharded
+# over 'data' (which here spans BOTH hosts), then a COLLECTIVE orbax save of
+# the cross-process-sharded state (engine/trainer.py save_checkpoint).
+from csbsr_tpu.engine.trainer import restore_checkpoint, save_checkpoint
+from csbsr_tpu.parallel import shard_state_zero1
+
+state_z = shard_state_zero1(state, mesh, params_too=True, min_size=64)
+cross = [
+    l for l in jax.tree_util.tree_leaves((state_z.params, state_z.opt_state))
+    if hasattr(l, "sharding") and not l.sharding.is_fully_addressable
+]
+assert cross, "nothing sharded across processes"
+_, metrics_z = step(state_z, gbatch, rng)
+loss_z = float(metrics_z["loss"])
+ckpt_dir = os.path.join(os.path.dirname(out_json), "zero1_ckpt")
+save_checkpoint(ckpt_dir, state_z, 1)
+# round trip on every host: abstract-template restore (no device_get on the
+# cross-process-sharded live state).  state_z holds the same values as the
+# replicated `state` (placement only), so the restored np leaves must match
+# `state` bit-for-bit.
+state_r = restore_checkpoint(ckpt_dir, state_z, 1)
+for a, b in zip(jax.tree_util.tree_leaves(state_r.params),
+                jax.tree_util.tree_leaves(state.params)):
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+
 with open(out_json, "w") as f:
-    json.dump({"pid": pid, "loss": loss, "devices": jax.device_count()}, f)
-print(f"worker {pid}: loss={loss}", flush=True)
+    json.dump({"pid": pid, "loss": loss, "loss_zero1": loss_z,
+               "devices": jax.device_count()}, f)
+print(f"worker {pid}: loss={loss} loss_zero1={loss_z}", flush=True)
 jax.distributed.shutdown()

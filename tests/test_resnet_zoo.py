@@ -21,17 +21,18 @@ def _shapes(arch, hw=32):
 
 
 def test_arch_table_complete():
-    # the live entries of the reference dispatch (dcn_* is dead code there,
-    # wsl_* is the resnext101_32x*d architecture + a weights download)
+    # EXACTLY the live entries of the reference dispatch
+    # (resnet_backbone.py:137-288; dcn_* is dead code there, wsl_* is the
+    # resnext101_32x*d architecture + a weights download)
     expected = set()
-    for depth in (18, 34, 50, 101, 152):
-        for deep in ("", "deepbase_"):
-            for dil in ("", "_dilated8", "_dilated16"):
-                expected.add(f"{deep}resnet{depth}{dil}")
+    for base in ("deepbase_resnet18", "resnet34", "resnet50",
+                 "deepbase_resnet50", "resnet101", "deepbase_resnet101"):
+        expected |= {base, f"{base}_dilated8", f"{base}_dilated16"}
+    expected |= {"deepbase_resnet152_dilated8", "deepbase_resnet152_dilated16"}
     expected |= {f"resnext101_32x{w}d_dilated8" for w in (8, 16, 32, 48)}
     expected |= {f"deepbase_resnest{d}_dilated8" for d in (50, 101, 200, 269)}
     expected |= {f"wide_resnet{n}_dilated8" for n in (16, 20, 38)}
-    assert expected <= set(ARCH_SPECS)
+    assert expected == set(ARCH_SPECS)
 
 
 def test_all_archs_build_abstractly():
@@ -99,6 +100,13 @@ def test_resnest_split_attention_forward():
     assert out[3].shape == (1, 4, 4, 2048)
     for o in out:
         assert np.isfinite(np.asarray(o)).all()
+    # odd feature maps: torch's ceil-mode avg_down (resnest_models.py:307)
+    # keeps the residual and the avd main path shape-compatible at 36x36
+    # (stem+pool -> 9x9), where floor-mode pooling would crash
+    x_odd = np.random.RandomState(3).rand(1, 36, 36, 3).astype(np.float32)
+    out_odd = m.apply(m.init(jax.random.PRNGKey(4), x_odd), x_odd)
+    assert out_odd[1].shape == (1, 5, 5, 512)
+    assert np.isfinite(np.asarray(out_odd[3])).all()
 
 
 def test_net_with_alternate_backbone():

@@ -13,9 +13,10 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -24,8 +25,6 @@ def main():
     p.add_argument("--hw", type=int, default=224, help="HR eval size (LR = hw/SF)")
     p.add_argument("opts", nargs=argparse.REMAINDER)
     args = p.parse_args()
-
-    import os
 
     # Abstract init only (jax.eval_shape): no device needed, so pin CPU.
     # setdefault would be a silent no-op under an ambient JAX_PLATFORMS.
