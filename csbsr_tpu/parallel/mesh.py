@@ -84,23 +84,49 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
         return multihost_utils.host_local_array_to_global_array(
             {k: np.asarray(v) for k, v in batch.items()}, mesh, P("data")
         )
+    n = mesh.shape["data"]
+    for k, v in batch.items():
+        if hasattr(v, "shape") and v.ndim and v.shape[0] % n:
+            raise ValueError(
+                f"batch leaf '{k}' has leading dim {v.shape[0]}, not divisible "
+                f"by the {n}-way 'data' mesh axis; raise SOLVER.BATCH_SIZE to a "
+                f"multiple of the device count (or shrink the mesh)")
     sh = batch_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 
-def _largest_divisible_dim(shape, axis_size: int) -> Optional[int]:
-    for d in sorted(range(len(shape)), key=lambda i: (-shape[i], i)):
+def _shard_dim(shape, axis_size: int, trailing_only: bool) -> Optional[int]:
+    """Pick the dim to shard: trailing dims first (output features).
+
+    ``trailing_only`` restricts >=2-D arrays to their LAST dim.  That is the
+    rule for live weights: sharding a conv kernel on a reduction dim (HWIO
+    input channels) while the conv's activations are spatially sharded makes
+    GSPMD emit a partial-sum convolution composed with halo exchanges, and on
+    the CPU backend that combination miscomputes (~1e-3 relative error on a
+    loss that is contractive to 1e-3 param noise - bisected to exactly
+    {kernel sharded on I} x {inputs sharded on a spatial mesh axis}; sharding
+    the same kernel on O, or dropping the spatial batch sharding, is
+    bit-exact).  Output-feature sharding is also the idiomatic FSDP layout,
+    so weights simply never shard on a contraction dim.  Optimizer moments
+    are used only elementwise, so any divisible dim is safe for them.
+    """
+    dims = range(len(shape) - 1, -1, -1)
+    if trailing_only and len(shape) >= 2:
+        dims = (len(shape) - 1,)
+    for d in dims:
         if shape[d] >= axis_size and shape[d] % axis_size == 0:
             return d
     return None
 
 
-def leaf_shard_spec(x, mesh: Mesh, axis: str = "data", min_size: int = 16384) -> P:
-    """PartitionSpec sharding one array's largest axis-divisible dim on
-    `axis`; small or indivisible leaves replicate."""
+def leaf_shard_spec(x, mesh: Mesh, axis: str = "data", min_size: int = 16384,
+                    trailing_only: bool = False) -> P:
+    """PartitionSpec sharding one array's trailing axis-divisible dim on
+    `axis`; small or indivisible leaves replicate.  ``trailing_only``: see
+    `_shard_dim` (required for live weights, optional for moments)."""
     if not hasattr(x, "shape") or x.ndim == 0 or x.size < min_size:
         return P()
-    d = _largest_divisible_dim(x.shape, mesh.shape[axis])
+    d = _shard_dim(x.shape, mesh.shape[axis], trailing_only)
     if d is None:
         return P()
     spec = [None] * x.ndim
@@ -126,9 +152,15 @@ def zero1_shardings(state, mesh: Mesh, axis: str = "data",
     stats) replicates.  Use the returned pytree both to ``device_put`` the
     state and as the train step's ``out_shardings`` so state-out matches
     state-in and the loop compiles once.
+
+    Both params and moments use ``trailing_only`` placement (output-feature
+    dim): weights MUST avoid contraction-dim sharding (see `_shard_dim`),
+    and the moments mirror the param layout so the elementwise Adam update
+    runs without any per-step resharding between g/m/v/p.
     """
     def spec_of(x):
-        return NamedSharding(mesh, leaf_shard_spec(x, mesh, axis, min_size))
+        return NamedSharding(
+            mesh, leaf_shard_spec(x, mesh, axis, min_size, trailing_only=True))
 
     repl = replicated(mesh)
     sh = jax.tree_util.tree_map(lambda _: repl, state)

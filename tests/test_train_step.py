@@ -145,6 +145,34 @@ def test_zero1_state_sharding_matches_replicated(rng):
         np.testing.assert_allclose(a, b, atol=2e-5, rtol=2e-5)
 
 
+def test_zero1_on_2d_mesh_matches_replicated(rng):
+    """ZeRO over 'data' on a 4x2 data x spatial mesh: FSDP weight gathers
+    compose with the conv halo exchanges GSPMD inserts for the sharded
+    image rows, and the numbers match the replicated placement."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from csbsr_tpu.parallel import make_mesh, replicate_state, shard_state_zero1
+
+    cfg = tiny_cfg(**{
+        "SOLVER.SR_PRETRAIN_ITER": [0, 0],
+        "SOLVER.SR_SR_MODULE_PRETRAIN_ITER": [0, 0],
+        "SOLVER.SR_KERNEL_MODULE_PRETRAIN_ITER": [0, 0],
+        "INPUT.IMAGE_SIZE": [16, 16],
+        "SOLVER.BATCH_SIZE": 4,
+    })
+    batch = make_batch(rng, b=4, hw=16)
+    model, pc, state, step = _setup(cfg, batch)
+    mesh = make_mesh([4, 2], ("data", "spatial"))
+    sh2 = NamedSharding(mesh, P("data", "spatial"))
+    sb = {k: jax.device_put(jnp.asarray(v), sh2) for k, v in batch.items()}
+    key = jax.random.PRNGKey(5)
+
+    _, m_rep = step(replicate_state(state, mesh), sb, key)
+    _, m_z = step(shard_state_zero1(state, mesh, params_too=True, min_size=64),
+                  sb, key)
+    assert abs(float(m_z["loss"]) - float(m_rep["loss"])) < 1e-5
+
+
 def test_grad_masks_freeze_sr_during_kernel_window(rng):
     cfg = tiny_cfg()
     batch = make_batch(rng)
