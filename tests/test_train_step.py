@@ -145,6 +145,32 @@ def test_zero1_state_sharding_matches_replicated(rng):
         np.testing.assert_allclose(a, b, atol=2e-5, rtol=2e-5)
 
 
+def test_leaf_shard_spec_placement_rules():
+    """Weights shard only on their trailing output-feature dim (sharding a
+    conv kernel's reduction dim while its activations are spatially sharded
+    triggers a GSPMD partial-sum-conv miscompute - see mesh.py:_shard_dim);
+    optimizer moments may use any divisible dim."""
+    from jax.sharding import PartitionSpec as P
+
+    from csbsr_tpu.parallel import make_mesh
+    from csbsr_tpu.parallel.mesh import leaf_shard_spec
+
+    mesh = make_mesh([4, 2], ("data", "spatial"))
+    conv_oio = jnp.zeros((3, 3, 256, 256))   # HWIO, O divisible
+    conv_odd = jnp.zeros((3, 3, 8, 49))      # only I divisible by 4
+    bias = jnp.zeros((256,))
+
+    # weights: trailing dim or nothing
+    assert leaf_shard_spec(conv_oio, mesh, "data", 64, trailing_only=True) \
+        == P(None, None, None, "data")
+    assert leaf_shard_spec(conv_odd, mesh, "data", 64, trailing_only=True) == P()
+    assert leaf_shard_spec(bias, mesh, "data", 64, trailing_only=True) == P("data")
+    # moments: any divisible dim is fine (elementwise use), trailing preferred
+    assert leaf_shard_spec(conv_odd, mesh, "data", 64) == P(None, None, "data", None)
+    # small leaves replicate
+    assert leaf_shard_spec(bias, mesh, "data", 16384) == P()
+
+
 def test_zero1_on_2d_mesh_matches_replicated(rng):
     """ZeRO over 'data' on a 4x2 data x spatial mesh: FSDP weight gathers
     compose with the conv halo exchanges GSPMD inserts for the sharded
