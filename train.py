@@ -40,6 +40,9 @@ def parse_args():
     p.add_argument("--process_id", type=int, default=None)
     p.add_argument("--wandb_flag", action="store_true", help="enable wandb logging")
     p.add_argument("--wandb_prj_name", type=str, default="CSBSR-TPU")
+    # accepted for reference-CLI parity (train.py:122); the reference declares
+    # it on the train CLI but only the inference path ever reads it
+    p.add_argument("--output_dirname", type=str, default="")
     p.add_argument("opts", default=None, nargs=argparse.REMAINDER)
     return p.parse_args()
 
@@ -88,6 +91,14 @@ def main():
         cfg.merge_from_file(args.config_file)
     if args.opts:
         cfg.merge_from_list(args.opts)
+    # downsampled-dataset quirk (reference train.py:153-154): when the train
+    # dir is a pre-downsampled "_ds_" set, the crop size shrinks by the scale
+    # factor. The reference divides the raw IMAGE_SIZE value; since the config
+    # schema carries [H, W] the division is elementwise here.
+    if "_ds_" in cfg.DATASET.TRAIN_IMAGE_DIR:
+        cfg.INPUT.IMAGE_SIZE = [
+            int(s / cfg.MODEL.SCALE_FACTOR) for s in cfg.INPUT.IMAGE_SIZE
+        ]
     cfg.freeze()
 
     np.random.seed(cfg.SEED)
