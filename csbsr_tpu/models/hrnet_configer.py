@@ -56,7 +56,9 @@ def hrnet_from_configer(configer: Configer, dtype=None):
     from .hrnet_ocr import HRNetW48OCR
 
     backbone = configer.get("network", "backbone", default="hrnet48")
-    if backbone != "hrnet48":
-        raise NotImplementedError(f"backbone {backbone} (only hrnet48 is built)")
+    widths = {"hrnet18": 18, "hrnet32": 32, "hrnet48": 48, "hrnet64": 64}
+    if backbone not in widths:
+        raise NotImplementedError(f"backbone {backbone} (choices: {sorted(widths)})")
     num_classes = configer.get("data", "num_classes", default=1)
-    return HRNetW48OCR(num_classes=num_classes, dtype=dtype or jnp.float32)
+    return HRNetW48OCR(num_classes=num_classes, width=widths[backbone],
+                       dtype=dtype or jnp.float32)

@@ -263,22 +263,27 @@ class SpatialOCR(nn.Module):
 
 
 class HRNetW48OCR(nn.Module):
-    """nets/hrnet.py:101-158. Returns (main_sigmoid, aux_sigmoid) at input res."""
+    """nets/hrnet.py:101-158. Returns (main_sigmoid, aux_sigmoid) at input res.
+
+    `width` selects the hrnet18/32/48/64 backbone row; the aux head is
+    in_ch->in_ch like the reference (in_ch = 15*width, 720 at W48).
+    """
 
     num_classes: int = 1
+    width: int = 48
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         h_in, w_in = x.shape[1:3]
-        xs = HRNetW48Backbone(dtype=self.dtype, name="backbone")(x, train)
+        xs = HRNetW48Backbone(width=self.width, dtype=self.dtype, name="backbone")(x, train)
         h, w = xs[0].shape[1:3]
         feats = jnp.concatenate(
             [xs[0]] + [resize(t, (h, w), method="bilinear", align_corners=True) for t in xs[1:]],
             axis=-1,
-        )  # 720 ch
+        )  # (1+2+4+8)*width ch; 720 at W48
 
-        aux = qconv(720, 3, padding=1, dtype=self.dtype, name="aux_conv0", train=train)(feats)
+        aux = qconv(feats.shape[-1], 3, padding=1, dtype=self.dtype, name="aux_conv0", train=train)(feats)
         aux = nn.relu(_bn(train, self.dtype, "aux_bn")(aux))
         aux = qconv(self.num_classes, 1, dtype=self.dtype, name="aux_conv1", train=train)(aux)
 
@@ -292,3 +297,98 @@ class HRNetW48OCR(nn.Module):
         out = nn.sigmoid(resize(out, (h_in, w_in), method="bilinear", align_corners=True))
         aux = nn.sigmoid(resize(aux, (h_in, w_in), method="bilinear", align_corners=True))
         return out, aux
+
+
+def _hrnet_feats(x, width, dtype, train):
+    """Shared stem of every nets/hrnet.py head: run the backbone, bilinear-
+    upsample branches 2-4 to branch-1 resolution, concat -> 15*width ch."""
+    xs = HRNetW48Backbone(width=width, dtype=dtype, name="backbone")(x, train)
+    h, w = xs[0].shape[1:3]
+    return jnp.concatenate(
+        [xs[0]] + [resize(t, (h, w), method="bilinear", align_corners=True) for t in xs[1:]],
+        axis=-1,
+    )
+
+
+class HRNetW48(nn.Module):
+    """nets/hrnet.py:22-53 (plain FCN head): conv3x3(in->in) + BNReLU +
+    dropout 0.10 + 1x1 cls conv (no bias), upsampled to input size.
+    Single raw-logit output (the reference returns logits here)."""
+
+    num_classes: int = 1
+    width: int = 48
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h_in, w_in = x.shape[1:3]
+        feats = _hrnet_feats(x, self.width, self.dtype, train)
+        f = nn.Conv(feats.shape[-1], (3, 3), padding=1, dtype=self.dtype,
+                    name="cls_conv0")(feats)
+        f = nn.relu(_bn(train, self.dtype, "cls_bn")(f))
+        f = nn.Dropout(0.10, deterministic=not train)(f)
+        out = nn.Conv(self.num_classes, (1, 1), use_bias=False, dtype=self.dtype,
+                      name="cls_conv1")(f)
+        return resize(out, (h_in, w_in), method="bilinear", align_corners=True)
+
+
+class HRNetW48ASPOCR(nn.Module):
+    """nets/hrnet.py:56-100: aux head (in->512 conv3x3 + BNReLU + 512->K),
+    SpatialOCR_ASP_Module(hidden=256, out=256, dilations 24/48/72) over the
+    concat feats conditioned on the aux logits, 256->K cls conv (no bias).
+    Returns (out_aux, out) logits at input resolution, reference order."""
+
+    num_classes: int = 1
+    width: int = 48
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from .openseg import SpatialOCRASPModule
+
+        h_in, w_in = x.shape[1:3]
+        feats = _hrnet_feats(x, self.width, self.dtype, train)
+
+        aux = nn.Conv(512, (3, 3), padding=1, dtype=self.dtype, name="aux_conv0")(feats)
+        aux = nn.relu(_bn(train, self.dtype, "aux_bn")(aux))
+        aux = nn.Conv(self.num_classes, (1, 1), use_bias=False, dtype=self.dtype,
+                      name="aux_conv1")(aux)
+
+        f = SpatialOCRASPModule(hidden=256, out_features=256, dilations=(24, 48, 72),
+                                dtype=self.dtype, name="asp_ocr_head")(feats, aux, train)
+        out = nn.Conv(self.num_classes, (1, 1), use_bias=False, dtype=self.dtype,
+                      name="cls_head")(f)
+
+        out_aux = resize(aux, (h_in, w_in), method="bilinear", align_corners=True)
+        out = resize(out, (h_in, w_in), method="bilinear", align_corners=True)
+        return out_aux, out
+
+
+class HRNetW48OCRB(nn.Module):
+    """nets/hrnet.py:161-215 (OCR_B): the cheaper OCR head - 3x3 convs go
+    in->256 instead of in->in/512, SpatialOCR(key=128, out=256).
+    Returns (out_aux, out) logits at input resolution, reference order."""
+
+    num_classes: int = 1
+    width: int = 48
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h_in, w_in = x.shape[1:3]
+        feats = _hrnet_feats(x, self.width, self.dtype, train)
+
+        aux = nn.Conv(256, (3, 3), padding=1, dtype=self.dtype, name="aux_conv0")(feats)
+        aux = nn.relu(_bn(train, self.dtype, "aux_bn")(aux))
+        aux = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype, name="aux_conv1")(aux)
+
+        f = nn.Conv(256, (3, 3), padding=1, dtype=self.dtype, name="conv3x3")(feats)
+        f = nn.relu(_bn(train, self.dtype, "conv3x3_bn")(f))
+
+        context = SpatialGather()(f, aux)
+        f = SpatialOCR(128, 256, dtype=self.dtype, name="ocr_distri_head")(f, context, train)
+        out = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype, name="cls_head")(f)
+
+        out_aux = resize(aux, (h_in, w_in), method="bilinear", align_corners=True)
+        out = resize(out, (h_in, w_in), method="bilinear", align_corners=True)
+        return out_aux, out

@@ -740,18 +740,23 @@ def semantic_segmentor(model_name: str, **kwargs):
     """ModelManager.semantic_segmentor (`model_manager.py:76-88`): construct
     an openseg net by its registry name.
 
-    'hrnet_w48_ocr' resolves to the CSBSR-integrated HRNetW48OCR
-    (models/hrnet_ocr.py) - the one entry of the reference dict that CSBSR
-    actually imports.
+    The hrnet_* rows resolve to models/hrnet_ocr.py: 'hrnet_w48_ocr' is the
+    CSBSR-integrated HRNetW48OCR (the one entry the reference CSBSR imports);
+    'hrnet_w48' / 'hrnet_w48_aspocr' / 'hrnet_w48_ocr_b' are its dormant
+    siblings from `nets/hrnet.py:22,56,161` (imported by
+    `build_model.py:23` but never instantiated there).
     """
-    if model_name == "hrnet_w48_ocr":
-        from .hrnet_ocr import HRNetW48OCR
+    hrnet_names = {"hrnet_w48_ocr": "HRNetW48OCR", "hrnet_w48": "HRNetW48",
+                   "hrnet_w48_aspocr": "HRNetW48ASPOCR",
+                   "hrnet_w48_ocr_b": "HRNetW48OCRB"}
+    if model_name in hrnet_names:
+        from . import hrnet_ocr
 
-        return HRNetW48OCR(**kwargs)
+        return getattr(hrnet_ocr, hrnet_names[model_name])(**kwargs)
     if model_name not in SEG_MODEL_DICT:
         raise KeyError(
             f"Model: {model_name} not valid! options: "
-            f"{sorted(SEG_MODEL_DICT) + ['hrnet_w48_ocr']}"
+            f"{sorted(SEG_MODEL_DICT) + sorted(hrnet_names)}"
         )
     if model_name == "segfix_hrnet":
         kwargs.pop("num_classes", None)  # SegFix has mask+dir heads instead

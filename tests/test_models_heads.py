@@ -88,3 +88,42 @@ def test_max_unpool_roundtrip(rng):
     windows = np.asarray(un).reshape(2, 4, 2, 4, 2, 3)
     counts = (windows != 0).sum(axis=(2, 4))
     assert (counts <= 1).all() or True  # zero-valued maxima allowed
+
+
+def test_hrnet_head_sibling_variants():
+    """nets/hrnet.py:22-215 sibling heads (imported by build_model.py:23,
+    dormant): HRNet_W48 plain FCN (single logits output), ASPOCR (aux+out
+    logits, ASP-OCR context), OCR_B (aux+out logits, 256-ch cheap head).
+    All width-parameterised; constructible by registry name."""
+    from csbsr_tpu.models.hrnet_ocr import HRNetW48, HRNetW48ASPOCR, HRNetW48OCRB
+    from csbsr_tpu.models.openseg import semantic_segmentor
+
+    x = jnp.zeros((1, 64, 64, 3))
+
+    m = HRNetW48(num_classes=2, width=18)
+    v = m.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    out = m.apply(v, x, train=False)
+    assert out.shape == (1, 64, 64, 2)
+    # plain head: conv3x3 is in_ch->in_ch (270 at W18)
+    assert v["params"]["cls_conv0"]["kernel"].shape == (3, 3, 270, 270)
+
+    m = HRNetW48ASPOCR(num_classes=2, width=18)
+    v = m.init({"params": jax.random.PRNGKey(1)}, x, train=False)
+    out_aux, out = m.apply(v, x, train=False)
+    assert out_aux.shape == (1, 64, 64, 2) and out.shape == (1, 64, 64, 2)
+    # cls head consumes the 256-ch ASP-OCR projection, no bias
+    assert v["params"]["cls_head"]["kernel"].shape == (1, 1, 256, 2)
+    assert "bias" not in v["params"]["cls_head"]
+
+    m = HRNetW48OCRB(num_classes=2, width=18)
+    v = m.init({"params": jax.random.PRNGKey(2)}, x, train=False)
+    out_aux, out = m.apply(v, x, train=False)
+    assert out_aux.shape == (1, 64, 64, 2) and out.shape == (1, 64, 64, 2)
+    # OCR_B: both 3x3 convs are in->256 (vs 512/in for OCR)
+    assert v["params"]["conv3x3"]["kernel"].shape == (3, 3, 270, 256)
+    assert v["params"]["aux_conv0"]["kernel"].shape == (3, 3, 270, 256)
+
+    for name, cls in [("hrnet_w48", HRNetW48),
+                      ("hrnet_w48_aspocr", HRNetW48ASPOCR),
+                      ("hrnet_w48_ocr_b", HRNetW48OCRB)]:
+        assert isinstance(semantic_segmentor(name, num_classes=1, width=18), cls)
