@@ -228,3 +228,32 @@ def test_hausdorff_distance_matches_scipy(rng):
     got = np.asarray(hausdorff_distance(jnp.asarray(pred), jnp.asarray(tgt)))
     assert np.isinf(got[2]) and np.isinf(expected[2])
     np.testing.assert_allclose(got[:2], expected[:2], rtol=1e-5)
+
+
+def test_psnr_compare_cli(tmp_path, capsys):
+    """tools/psnr_compare.py = the reference's estimate_metrics.py:362-387 /
+    psnr_ssim.py:243-265 folder-compare probes. Identical folders -> inf
+    raw PSNR; matlab mode prints both averages."""
+    import numpy as np
+    from PIL import Image
+    import importlib.util, pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "psnr_compare", pathlib.Path(__file__).parents[1] / "tools" / "psnr_compare.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    a = tmp_path / "a"; b = tmp_path / "b"
+    a.mkdir(); b.mkdir()
+    r = np.random.RandomState(3)
+    img = (r.rand(24, 24, 3) * 255).astype("uint8")
+    Image.fromarray(img).save(a / "x.png")
+    Image.fromarray(img).save(b / "x.png")
+
+    mod.main([str(b), str(a)])
+    out = capsys.readouterr().out
+    assert "averaged psnr inf" in out
+
+    mod.main([str(b), str(a), "--matlab", "--crop_border", "0"])
+    out = capsys.readouterr().out
+    assert "averaged ssim 1.0" in out
