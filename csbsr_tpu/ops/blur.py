@@ -254,3 +254,47 @@ def degrade(
     blurred = batch_blur(hr, kernels)
     h, w = blurred.shape[1:3]
     return resize(blurred, (h // scale_factor, w // scale_factor), method=method)
+
+
+def _kernel_cli(argv=None):
+    """Blur-kernel generator CLI (`blur.py:241-282` __main__ probe):
+    `python -m csbsr_tpu.ops.blur OUTPUT_DIR NUM [--mode gaus|disk|motion]
+    [--size 21] [--seed 0]` dumps NUM random kernels as max-normalised
+    grayscale PNGs named 0.png..NUM-1.png, like the reference's make_blur
+    (mode "gaus", sigma ranges (0.2, 4.0) both axes, anisotropic)."""
+    import argparse
+    import os
+
+    import numpy as np
+    from PIL import Image
+
+    from ..utils.cache import honor_platform_env
+
+    honor_platform_env()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("output_dir")
+    ap.add_argument("num", type=int)
+    ap.add_argument("--mode", default="gaus", choices=["gaus", "disk", "motion"])
+    ap.add_argument("--size", type=int, default=21)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    key = jax.random.PRNGKey(args.seed)
+    if args.mode == "gaus":
+        kerns = gaussian_kernels(key, args.num, size=args.size,
+                                 sigma_range=(0.2, 4.0), sigma_range2=(0.2, 4.0))
+    elif args.mode == "disk":
+        kerns = disk_kernels(key, args.num, size=args.size)
+    else:
+        kerns = motion_kernels(key, args.num, size=args.size)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    kerns = np.asarray(kerns)
+    for i, k in enumerate(kerns):
+        img = (k / k.max() * 255.0).astype(np.uint8)
+        Image.fromarray(img, "L").save(os.path.join(args.output_dir, f"{i}.png"))
+    print(f"wrote {args.num} {args.mode} kernels to {args.output_dir}")
+
+
+if __name__ == "__main__":
+    _kernel_cli()

@@ -176,3 +176,16 @@ def test_patch_roundtrip_scaled(rng):
     ushape2[[5, 6]] *= 4
     out = joint_patch(up, ushape2)
     assert out.shape == (1, 448, 448, 3)
+
+
+def test_blur_kernel_cli(tmp_path):
+    """`python -m csbsr_tpu.ops.blur DIR N` = the reference blur.py:275-282
+    __main__ probe: N random kernels dumped as max-normalised L-mode PNGs."""
+    import numpy as np
+    from PIL import Image
+    from csbsr_tpu.ops.blur import _kernel_cli
+
+    _kernel_cli([str(tmp_path), "2", "--size", "11", "--seed", "3"])
+    for i in range(2):
+        img = np.array(Image.open(tmp_path / f"{i}.png"))
+        assert img.shape == (11, 11) and img.max() == 255
