@@ -131,3 +131,19 @@ def test_train_cli_only_images(tmp_path):
     assert os.path.isdir(out / "checkpoints" / "2"), r.stdout[-2000:]
     rows = [json.loads(l) for l in open(out / "metrics.jsonl")]
     assert any("eval/psnr" in r_ for r_ in rows)
+
+
+def test_metrics_logger_histograms(tmp_path):
+    """MetricsLogger.log_histograms = the wandb.watch(log='all') analog
+    (trainer.py:52): per-tensor histograms to wandb when live, one
+    aggregate row to metrics.jsonl always."""
+    from csbsr_tpu.utils.logging import MetricsLogger
+
+    mlog = MetricsLogger(str(tmp_path))
+    tree = {"a": {"kernel": np.arange(6.0).reshape(2, 3)}, "b": np.ones((4,))}
+    mlog.log_histograms(tree, step=7)
+    mlog.close()
+    rows = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    row = rows[-1]
+    assert row["step"] == 7 and row["params/num_tensors"] == 2
+    assert row["params/min"] == 0.0 and row["params/max"] == 5.0
