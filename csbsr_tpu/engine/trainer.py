@@ -274,6 +274,10 @@ def do_train(
                 {k: v / n for k, v in logging.items()} | {"alpha": float(metrics["alpha"])},
                 step=iteration,
             )
+            if mlog.wandb_run is not None:
+                # wandb.watch(model, log='all') analog (trainer.py:52);
+                # jsonl gets the aggregate row, wandb the per-tensor hists
+                mlog.log_histograms(state.params, step=iteration)
             logging = {k: 0.0 for k in logging}
             tic = time.time()
 
