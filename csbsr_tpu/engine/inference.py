@@ -125,6 +125,9 @@ def inference_for_ss(
 
     mlog = MetricsLogger(output_dir, wandb_flag=wandb_flag, project=wandb_project,
                          config=dict(cfg))
+    if mlog.wandb_run is not None:
+        # wandb.watch(model) analog at eval time (reference inference.py:72)
+        mlog.log_histograms(variables.get("params", variables), step=0)
     infer = build_infer_fn(cfg, model, variables)
     if test_aiu:
         thresholds = np.array([i * 0.01 for i in range(1, 100)], np.float32)
