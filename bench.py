@@ -259,19 +259,28 @@ def main():
 
     int8_rate, int8_agreement = measure_int8(results[128][3])
 
-    train_img_s, train_flops = measure_train(32)
-    # B=64 is the HBM sweet spot with full remat (PERF.md round 3)
-    train_img_s_b64, _ = measure_train(64)
+    # train-side timing must not kill the inference line: a tunnel hiccup /
+    # remote-compile 500 during the (10-15 min cold) train-graph compile
+    # would otherwise drop the whole JSON record
+    try:
+        train_img_s, train_flops = measure_train(32)
+        # B=64 is the HBM sweet spot with full remat (PERF.md round 3)
+        train_img_s_b64, _ = measure_train(64)
+    except Exception as e:
+        print(f"train-step measurement FAILED: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        train_img_s = train_flops = train_img_s_b64 = None
     out = {
         "metric": "csbsr_pspnet_x4_sr_seg_inference",
         "value": round(imgs_per_sec, 3),
         "unit": "images/sec/chip (224x224 outputs)",
         "vs_baseline": round(imgs_per_sec / PYTORCH_GPU_CLASS_BASELINE_IMG_S, 3),
         "sustained": round(sustained, 3) if sustained else None,
-        "train_images_per_sec": round(train_img_s, 3),
-        "train_batch": 32,
-        "train_images_per_sec_b64": round(train_img_s_b64, 3),
     }
+    if train_img_s is not None:
+        out["train_images_per_sec"] = round(train_img_s, 3)
+        out["train_batch"] = 32
+        out["train_images_per_sec_b64"] = round(train_img_s_b64, 3)
     if mfu is not None:
         out["mfu"] = round(mfu, 4)
     if int8_rate is not None:
