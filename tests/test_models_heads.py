@@ -127,3 +127,18 @@ def test_hrnet_head_sibling_variants():
                       ("hrnet_w48_aspocr", HRNetW48ASPOCR),
                       ("hrnet_w48_ocr_b", HRNetW48OCRB)]:
         assert isinstance(semantic_segmentor(name, num_classes=1, width=18), cls)
+
+
+def test_hrnet_sibling_train_mode():
+    """Train-mode forward (BN batch-stats mutation + dropout rng) for the
+    sibling heads - the eval-only init test cannot catch a broken
+    deterministic/mutable wiring."""
+    from csbsr_tpu.models.hrnet_ocr import HRNetW48ASPOCR
+
+    m = HRNetW48ASPOCR(num_classes=1, width=18)
+    x = jnp.zeros((1, 32, 32, 3))
+    v = m.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    (out_aux, out), mutated = m.apply(
+        v, x, train=True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(1)})
+    assert out.shape == (1, 32, 32, 1) and "batch_stats" in mutated
