@@ -25,8 +25,7 @@ class DBPN(nn.Module):
     """Dense DBPN with `num_stages` up-projections (Net_<num_stages>).
 
     Matches dbpn.py Net_2 (:12), Net_4 (:67), Net_6 (:138), Net_7 (:313),
-    Net_8 (:405), Net_10 (:506): feat_ch=256 (128 for Net_2), base_ch=64
-    (32 for Net_2).
+    Net_8 (:405), Net_10 (:506): feat_ch=256, base_ch=64 for every variant.
     """
 
     scale_factor: int = 4
@@ -37,9 +36,11 @@ class DBPN(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         k, s, p = _CONV_SETTING[self.scale_factor]
-        small = self.num_stages == 2
-        feat_ch = 128 if small else 256
-        base_ch = 32 if small else 64
+        # Every Net_T shares base_filter=64, feat=256 defaults
+        # (`dbpn.py:13,68,139,...` — Net_2 included; caught by the
+        # reference-oracle test, which failed on a 128/32 special case).
+        feat_ch = 256
+        base_ch = 64
 
         conv = lambda f, ks, st, pd, name: ConvBlock(
             f, ks, st, pd, use_bias=True, activation="prelu", norm=None,

@@ -146,5 +146,8 @@ def export_params_to_torch_names(params, translate) -> Dict[str, np.ndarray]:
             w = np.transpose(w, (3, 2, 0, 1))
         elif kind == "kernel" and w.ndim == 2:
             w = np.transpose(w, (1, 0))
+        elif kind == "alpha":
+            # torch PReLU stores weight as shape (1,), not a scalar
+            w = w.reshape(1)
         out[tkey] = w
     return out

@@ -17,7 +17,9 @@ from typing import Optional, Tuple
 
 
 def _block_leaf(seg_kind: Tuple[str, str]) -> Optional[str]:
-    """Map (structural segment, kind) to the torch leaf name."""
+    """Map (structural segment, kind) to the torch leaf name for the
+    BlockBase family (`blocks.py:17-103`, `kbpn.py:192-290`): the conv lives
+    in `.layer`, the norm in `.norm`, the activation in `.act`."""
     seg, kind = seg_kind
     if seg in ("conv", "deconv"):
         return {"kernel": "layer.weight", "bias": "layer.bias"}[kind]
@@ -26,6 +28,25 @@ def _block_leaf(seg_kind: Tuple[str, str]) -> Optional[str]:
     if seg.startswith("BatchNorm"):
         return {"scale": "norm.weight", "bias": "norm.bias",
                 "mean": "norm.running_mean", "var": "norm.running_var"}[kind]
+    return None
+
+
+def _base_networks_leaf(seg_kind: Tuple[str, str]) -> Optional[str]:
+    """Leaf names for the `base_networks.py` block family (DBPN):
+    ConvBlock keeps its conv in `.conv` (`base_networks.py:62`), DeconvBlock
+    in `.deconv` (`:105`), activation `.act` (`:74-84`), batchnorm `.bn`
+    (`:66`).  Caught by the reference-oracle tests: these differ from the
+    BlockBase family above."""
+    seg, kind = seg_kind
+    if seg == "conv":
+        return {"kernel": "conv.weight", "bias": "conv.bias"}[kind]
+    if seg == "deconv":
+        return {"kernel": "deconv.weight", "bias": "deconv.bias"}[kind]
+    if seg.startswith("PReLU"):
+        return "act.weight"
+    if seg.startswith("BatchNorm"):
+        return {"scale": "bn.weight", "bias": "bn.bias",
+                "mean": "bn.running_mean", "var": "bn.running_var"}[kind]
     return None
 
 
@@ -95,7 +116,8 @@ def translate_kbpn(path: Tuple, kind: str) -> Optional[str]:
 
 
 def translate_dbpn(path: Tuple, kind: str) -> Optional[str]:
-    """DBPN torch names (`dbpn.py:67-135` Net_4 et al.)."""
+    """DBPN torch names (`dbpn.py:67-135` Net_4 et al.; block family =
+    `base_networks.py`, so leaves are conv./deconv./act./bn.)."""
     p = [str(x) for x in path[:-1]]
     if not p:
         return None
@@ -103,7 +125,7 @@ def translate_dbpn(path: Tuple, kind: str) -> Optional[str]:
 
     def leaf(i):
         rest = p[i:]
-        return _block_leaf((rest[0], kind)) if rest else None
+        return _base_networks_leaf((rest[0], kind)) if rest else None
 
     if head in ("feat0", "feat1", "output_conv"):
         lf = leaf(1)
