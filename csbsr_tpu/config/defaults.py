@@ -65,7 +65,11 @@ _C.SOLVER.SEG_FAIL_ORIENTED_WEIGHT4SS_BIAS = 1.0
 _C.SOLVER.INTERM_SSLOSSWEGHT4SR = False
 
 _C.SOLVER.SR_LOSS_FUNC = "L1"  # 'L1' | 'L2' | 'KBPN'
-_C.SOLVER.SR_LOSS_FUNC_SR_WEIGHT = [0.4, 0.4, 0.2]  # [HR, LR, kernel]
+# The reference default is the 4-element typo `[0.4, 0.4, 0,2]`
+# (`model/config/defaults.py:72`, comma for decimal point); only [0:3] are
+# read, so the released recipes train with kernel-MSE weight 0. Preserved
+# verbatim for checkpoint/recipe parity (caught by the reference oracle).
+_C.SOLVER.SR_LOSS_FUNC_SR_WEIGHT = [0.4, 0.4, 0, 2]  # [HR, LR, kernel][, dead]
 
 _C.SOLVER.LR_LOSS_FUNC = "L1"
 _C.SOLVER.ALPHA_MIN = 0.01
@@ -85,6 +89,14 @@ _C.BLUR.FLAG = True
 _C.BLUR.KERNEL_SIZE = 21  # size predicted by the network
 _C.BLUR.KERNEL_SIZE_OUTPUT = 21  # size applied to images (upsampled if !=)
 _C.BLUR.ISOTROPIC = False
+# Kernel-family dispatch for on-device train degradation.  The reference's
+# training call site hardcodes mode="gaus" (`crack_dataset.py:52`) but its
+# `set_blur` dispatcher (`blur/blur.py:207-238`) carries the full surface:
+# "gaus" | "disk" | "motion" | "all_rand" | "<ker1>-<ker2>" compounds.
+_C.BLUR.MODE = "gaus"
+_C.BLUR.SIGMA_RANGE = [0.2, 4.0]  # gaussian sigma_x (set_blur rgdr default)
+_C.BLUR.SIGMA_RANGE2 = []  # gaussian sigma_y; [] = same as SIGMA_RANGE
+_C.BLUR.RATIO_RANGE = [0.1, 1.0]  # disk/motion deterioration ratio (rdr)
 
 _C.INPUT = CN()
 _C.INPUT.IMAGE_SIZE = [448, 448]  # H x W

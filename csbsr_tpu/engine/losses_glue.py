@@ -111,39 +111,43 @@ def build_loss_fn(cfg) -> Callable:
     def loss_fn(outputs, batch, phase) -> Dict[str, jnp.ndarray]:
         it = phase["iteration"]
         alpha = phase["alpha"]
+        # compute dtype: f32 for the bf16/f32 training path, f64 when the
+        # caller runs the loss stack in float64 (reference-oracle parity)
+        _ref = outputs["sr"] if "sr" in outputs else outputs["seg"]
+        acc = jnp.float64 if _ref.dtype == jnp.float64 else jnp.float32
 
         # SR-only pretraining (do_pretrain_sr, trainer.py:252-289)
         if sr_only_mode:
             sr_loss, kernel_2d = kbpn_loss(
-                outputs["sr"].astype(jnp.float32),
-                batch["hr"].astype(jnp.float32),
-                batch["lr"].astype(jnp.float32),
-                outputs["kernel"].astype(jnp.float32),
-                batch["kernel"].astype(jnp.float32),
+                outputs["sr"].astype(acc),
+                batch["hr"].astype(acc),
+                batch["lr"].astype(acc),
+                outputs["kernel"].astype(acc),
+                batch["kernel"].astype(acc),
                 it, ksize=ksize_out, scale_factor=sf, weights=kbpn_w,
                 only_kernel_loss_in_window=(phase["in_kernel_window"] if only_kernel else None),
                 downscale_method=downscale_method,
             ) if sr_loss_name == "KBPN" else (
-                l1_per_sample(outputs["sr"].astype(jnp.float32), batch["hr"].astype(jnp.float32)),
+                l1_per_sample(outputs["sr"].astype(acc), batch["hr"].astype(acc)),
                 None,
             )
             sr_mean = jnp.mean(sr_loss)
             return {"total": sr_mean, "seg_loss": jnp.zeros(()), "sr_loss": sr_mean}
 
-        seg_preds = outputs["seg"].astype(jnp.float32)
-        seg_targets = batch["seg"].astype(jnp.float32)
+        seg_preds = outputs["seg"].astype(acc)
+        seg_targets = batch["seg"].astype(acc)
 
         # ---- segmentation loss (calc_ss_loss, build_model.py:258-278)
         if sr_seg_inv and "lr_seg" in outputs:
             # JointInv (build_model.py:508-516): seg loss on the LR seg map
             # vs the downsampled target; the SR loss upgrades the seg map.
-            lr_pred = outputs["lr_seg"].astype(jnp.float32)
+            lr_pred = outputs["lr_seg"].astype(acc)
             lr_tgt = _resize(seg_targets, lr_pred.shape[1:3], method=downscale_method)
             seg_loss = seg_loss_fn(lr_pred, lr_tgt, alpha)
         else:
             seg_loss = seg_loss_fn(seg_preds, seg_targets, alpha)
         if outputs.get("aux") is not None:
-            aux = outputs["aux"].astype(jnp.float32)
+            aux = outputs["aux"].astype(acc)
             if sr_seg_inv:
                 aux_tgt = _resize(seg_targets, aux.shape[1:3], method=downscale_method)
                 aux_loss = seg_loss_fn(aux, aux_tgt, alpha)
@@ -152,23 +156,26 @@ def build_loss_fn(cfg) -> Callable:
                 # (build_model.py:264-266)
                 n_sides = aux.shape[-1]
                 tgt = jnp.broadcast_to(seg_targets, aux.shape)
-                aux_loss = seg_loss_fn(aux, tgt, alpha) * n_sides
+                aux_loss = seg_loss_fn(aux, tgt, alpha)
+                aux_loss = jax.tree_util.tree_map(lambda v: v * n_sides, aux_loss)
             else:
                 aux_loss = seg_loss_fn(aux, seg_targets, alpha)
-            seg_loss = main_w * seg_loss + aux_w * aux_loss
+            # per-pixel mode yields (paired, cross) tuples; combine leafwise
+            seg_loss = jax.tree_util.tree_map(
+                lambda m, a: main_w * m + aux_w * a, seg_loss, aux_loss)
 
         # ---- SR loss (calc_sr_loss, build_model.py:160-187)
         kernel_2d = None
         if sr_none:
-            sr_loss = jnp.zeros((seg_preds.shape[0],), jnp.float32)
+            sr_loss = jnp.zeros((seg_preds.shape[0],), acc)
         elif sr_loss_name == "KBPN":
             only_kernel_flag = phase["in_kernel_window"] if only_kernel else None
             sr_loss, kernel_2d = kbpn_loss(
-                outputs["sr"].astype(jnp.float32),
-                batch["hr"].astype(jnp.float32),
-                batch["lr"].astype(jnp.float32),
-                outputs["kernel"].astype(jnp.float32),
-                batch["kernel"].astype(jnp.float32),
+                outputs["sr"].astype(acc),
+                batch["hr"].astype(acc),
+                batch["lr"].astype(acc),
+                outputs["kernel"].astype(acc),
+                batch["kernel"].astype(acc),
                 it,
                 ksize=ksize_out, scale_factor=sf, weights=kbpn_w,
                 only_kernel_loss_in_window=only_kernel_flag,
@@ -180,25 +187,36 @@ def build_loss_fn(cfg) -> Callable:
                 downscale_method=downscale_method,
             )
         else:
-            tgt = batch["seg" if sr_seg_inv else "hr"].astype(jnp.float32)
+            tgt = batch["seg" if sr_seg_inv else "hr"].astype(acc)
             fn = l1_per_sample if sr_loss_name == "L1" else l2_per_sample
-            sr_loss = fn(outputs["sr"].astype(jnp.float32), tgt)
+            sr_loss = fn(outputs["sr"].astype(acc), tgt)
             # multiple_weight for non-KBPN (build_model.py:422-438); per-pixel
             # weights are folded before the per-sample reduction.
             if co_sr_amp != 0.0 or sfo_sr_amp != 0.0:
-                per_map = jnp.abs(outputs["sr"].astype(jnp.float32) - tgt)
+                per_map = jnp.abs(outputs["sr"].astype(acc) - tgt)
                 if co_sr_amp != 0.0:
                     per_map = _co_weight(seg_targets) * per_map
                 if sfo_sr_amp != 0.0:
                     per_map = _sfo_weight(seg_preds, seg_targets, sfo_sr_amp, sfo_sr_bias) * per_map
                 sr_loss = jnp.where(it >= w_iter, jnp.mean(per_map, axis=(1, 2, 3)), sr_loss)
 
-        # ---- failure-oriented seg weight (build_model.py:433-434)
-        if sfo_ss_amp != 0.0:
-            w = _sfo_weight(seg_preds, seg_targets, sfo_ss_amp, sfo_ss_bias)
-            seg_loss = jnp.mean(w * seg_loss, axis=(1, 2, 3)) if seg_per_pixel else seg_loss
-        elif seg_per_pixel:
-            seg_loss = jnp.mean(seg_loss, axis=(1, 2, 3))
+        # ---- failure-oriented seg weight (build_model.py:433-434), gated by
+        # `oriented_w_iter <= iter` exactly as multiple_weight is.
+        # The per-pixel map is the reference's (B,B,H,W) broadcast product
+        # map[i,j] = paired[i] + cross[j] (see boundary_combo_loss); its
+        # weighted mean  mean_{i,j,h,w} w[i]*(paired[i] + cross[j])  reduces
+        # to the per-sample form below with cross replaced by its batch mean
+        # — exact, without materialising B^2 maps on the hot path.
+        if seg_per_pixel:
+            paired, cross = seg_loss
+            plain = jnp.mean(paired + cross, axis=(1, 2, 3))
+            if sfo_ss_amp != 0.0:
+                w = _sfo_weight(seg_preds, seg_targets, sfo_ss_amp, sfo_ss_bias)
+                cross_bar = jnp.mean(cross, axis=0, keepdims=True)
+                weighted = jnp.mean(w * (paired + cross_bar), axis=(1, 2, 3))
+                seg_loss = jnp.where(it >= w_iter, weighted, plain)
+            else:
+                seg_loss = plain
 
         # ---- intermediate seg-loss weighting of SR (build_model.py:435-437)
         if interm_ss4sr:
@@ -209,8 +227,8 @@ def build_loss_fn(cfg) -> Callable:
 
         # ---- DSRL combiner (trainer.py:440-452): w_sr*sr + w_fa*fa + w_seg*seg
         if is_dsrl:
-            fa = fa_loss_fn(outputs["fea_seg"].astype(jnp.float32),
-                            outputs["fea_sr"].astype(jnp.float32))
+            fa = fa_loss_fn(outputs["fea_seg"].astype(acc),
+                            outputs["fea_sr"].astype(acc))
             total = dsrl_w[0] * sr_mean + dsrl_w[1] * fa + dsrl_w[2] * seg_mean
             total = jnp.where(phase["in_sr_pretrain"], sr_mean, total)
             total = jnp.where(phase["in_seg_pretrain"], seg_mean, total)
@@ -219,13 +237,17 @@ def build_loss_fn(cfg) -> Callable:
 
         # ---- combiner (trainer.py:406-438)
         if sr_none:
+            # SCALE_FACTOR==1 / bicubic: the reference returns segment_loss
+            # WITHOUT calc_pretrain_loss (trainer.py:416-417 hits neither
+            # branch that calls it), so the window overrides must not apply.
             total = seg_mean
-        elif joint:
-            total = (1.0 - phase["w_task"]) * sr_mean + phase["w_task"] * seg_mean
         else:
-            total = sr_mean if sr_seg_inv else seg_mean
-        total = jnp.where(phase["in_sr_pretrain"], sr_mean, total)
-        total = jnp.where(phase["in_seg_pretrain"], seg_mean, total)
+            if joint:
+                total = (1.0 - phase["w_task"]) * sr_mean + phase["w_task"] * seg_mean
+            else:
+                total = sr_mean if sr_seg_inv else seg_mean
+            total = jnp.where(phase["in_sr_pretrain"], sr_mean, total)
+            total = jnp.where(phase["in_seg_pretrain"], seg_mean, total)
 
         out = {"total": total, "seg_loss": seg_mean, "sr_loss": sr_mean}
         if kernel_2d is not None:

@@ -107,8 +107,26 @@ def boundary_combo_loss(
     predict is clamped to >= 1e-8 like the reference (`:52`).
     """
     predict = jnp.clip(predict, _SMOOTH_BCE, None)
-    wd = bce_dice(predict, target, pos_weight, loss_weight, per_pixel=per_pixel)
-    bd = boundary_loss(predict, target, per_pixel=per_pixel)
+    if per_pixel:
+        # out_map=True decomposes into per-SAMPLE components because the
+        # reference's per-pixel map is a broadcasting accident: BCE_DiceLoss
+        # adds the (B,1,H,W) WBCE map to the (B,H,W) dice out_map
+        # (`loss_functions.py:334-335` + `:292-296`), which torch broadcasts
+        # to (B,B,H,W) — BCE of sample i paired with dice of sample j for
+        # ALL (i,j).  We return the two factors
+        #     paired[i] = alpha*c0*bce[i] + (1-alpha)*bd[i]   (dim 0 of the map)
+        #     cross[j]  = alpha*c1*dice[j]                    (dim 1 of the map)
+        # so the consumer can reduce map[i,j] = paired[i] + cross[j] exactly
+        # (engine/losses_glue.py) without materialising B^2 maps.
+        lw0, lw1 = loss_weight
+        bce_map = weighted_bce(predict, target, pos_weight, per_pixel=True)
+        dice_map = binary_dice(predict, target, per_pixel=True)
+        bd_map = boundary_loss(predict, target, per_pixel=True)
+        paired = alpha * (lw0 / (lw0 + lw1)) * bce_map + (1.0 - alpha) * bd_map
+        cross = alpha * (lw1 / (lw0 + lw1)) * dice_map
+        return paired, cross
+    wd = bce_dice(predict, target, pos_weight, loss_weight)
+    bd = boundary_loss(predict, target)
     return alpha * wd + (1.0 - alpha) * bd
 
 

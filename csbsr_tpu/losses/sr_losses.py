@@ -107,7 +107,12 @@ def kbpn_loss(
             hr_map = jnp.where(apply_w, w_sfo * hr_map, hr_map)
             lr_map = jnp.where(apply_w, w_sfo_lr * lr_map, lr_map)
 
-    w0, w1, w2 = weights
+    # The reference's default SR_LOSS_FUNC_SR_WEIGHT is the 4-element typo
+    # `[0.4, 0.4, 0,2]` (`defaults.py:72` — comma, not decimal point): only
+    # the first three entries are read (`sr_loss_functions.py:53-55`), so the
+    # released recipes effectively train with KERNEL-MSE WEIGHT ZERO.  Mirror
+    # the indexing so parity holds for both the typo'd and corrected lists.
+    w0, w1, w2 = weights[0], weights[1], weights[2]
     loss = (
         w0 * jnp.mean(hr_map, axis=(1, 2, 3))
         + w1 * jnp.mean(lr_map, axis=(1, 2, 3))

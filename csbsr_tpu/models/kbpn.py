@@ -254,7 +254,8 @@ class KernelPredictorLikeIKC(nn.Module):
             d = cb(red, 3, 1, "lrelu", "fe_cat1")(d, train)
             d = ConvBlock(kernel_ch, 3, 1, 1, activation=None, norm=None,
                           dtype=self.dtype, name="fe_cat2")(d, train)
-            delta = jnp.mean(d.astype(jnp.float32), axis=(1, 2))
+            gap_acc = jnp.float64 if d.dtype == jnp.float64 else jnp.float32
+            delta = jnp.mean(d.astype(gap_acc), axis=(1, 2))
         else:
             fh_b = banded_from_vector(pre_kernel_vec.astype(fsr.dtype))
             fh_b = _BandedConvBlock(kernel_ch, 3, "lrelu", dtype=self.dtype, name="fe_kernel0")(fh_b)

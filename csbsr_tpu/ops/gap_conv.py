@@ -36,7 +36,10 @@ def gap_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     assert kernel.shape[:2] == (3, 3), kernel.shape
     b, h, w, c = x.shape
     assert h >= 2 and w >= 2, (h, w)
-    xf = x.astype(jnp.float32)
+    # f32 accumulation for bf16/f32 inputs; f64 inputs (reference-oracle
+    # parity runs) keep full precision
+    acc = jnp.float64 if x.dtype == jnp.float64 else jnp.float32
+    xf = x.astype(acc)
 
     full = jnp.sum(xf, axis=(1, 2))  # (B, C)
     row_first = jnp.sum(xf[:, 0], axis=1)
@@ -66,7 +69,7 @@ def gap_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     t_all = jnp.stack(taps)  # (3, 3, B, C)
 
     out = jnp.einsum(
-        "ijbc,ijco->bo", t_all, kernel.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
+        "ijbc,ijco->bo", t_all, kernel.astype(acc),
+        preferred_element_type=acc,
     )
-    return out / jnp.float32(h * w)
+    return out / jnp.asarray(h * w, acc)

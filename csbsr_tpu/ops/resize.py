@@ -63,7 +63,7 @@ def _resize_matrix(
         return _area_matrix(in_size, out_size)
     kernel_fn, support = _KERNELS[mode]
     if in_size == out_size and not antialias:
-        return np.eye(out_size, dtype=np.float32)
+        return np.eye(out_size, dtype=np.float64)
 
     if align_corners and out_size > 1:
         scale = (in_size - 1) / (out_size - 1)
@@ -83,7 +83,7 @@ def _resize_matrix(
         w = kernel_fn((idx - centers) / downscale) / downscale
         np.add.at(mat, (np.arange(out_size), np.clip(idx, 0, in_size - 1)), w)
     mat /= mat.sum(axis=1, keepdims=True)
-    return mat.astype(np.float32)
+    return mat
 
 
 def _area_matrix(in_size: int, out_size: int) -> np.ndarray:
@@ -93,7 +93,7 @@ def _area_matrix(in_size: int, out_size: int) -> np.ndarray:
         start = int(np.floor(o * in_size / out_size))
         end = int(np.ceil((o + 1) * in_size / out_size))
         mat[o, start:end] = 1.0 / (end - start)
-    return mat.astype(np.float32)
+    return mat
 
 
 def resize(
@@ -108,8 +108,11 @@ def resize(
     h_out, w_out = out_hw
     if (h_in, w_in) == (h_out, w_out) and not antialias:
         return x
-    wh = jnp.asarray(_resize_matrix(h_in, h_out, method, align_corners, antialias))
-    ww = jnp.asarray(_resize_matrix(w_in, w_out, method, align_corners, antialias))
+    # weight dtype follows the input: f64 inputs (reference-oracle parity
+    # runs) keep full-precision weights, everything else computes in f32
+    wdtype = jnp.float64 if x.dtype == jnp.float64 else jnp.float32
+    wh = jnp.asarray(_resize_matrix(h_in, h_out, method, align_corners, antialias), dtype=wdtype)
+    ww = jnp.asarray(_resize_matrix(w_in, w_out, method, align_corners, antialias), dtype=wdtype)
     orig_dtype = x.dtype
     xf = x.astype(wh.dtype)
     # HIGHEST precision: resize weights are parity-critical (PSNR window is

@@ -140,7 +140,11 @@ def export_params_to_torch_names(params, translate) -> Dict[str, np.ndarray]:
         if tkey is None:
             continue
         w = np.asarray(leaf)
-        if kind == "kernel" and w.ndim == 4:
+        if name == "embedding" and w.ndim == 4:
+            # CrackFormer LocalSABlock positional embedding: flax HWIO
+            # (m, m, 1, kk) -> torch conv3d weight (kk, u=1, 1, m, m)
+            w = np.transpose(w, (3, 2, 0, 1))[:, :, None]
+        elif kind == "kernel" and w.ndim == 4:
             # (kh,kw,I,O)->(O,I,kh,kw) and (kh,kw,O,I)->(I,O,kh,kw) are the
             # same permutation - no deconv special case
             w = np.transpose(w, (3, 2, 0, 1))

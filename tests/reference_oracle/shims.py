@@ -227,8 +227,26 @@ def _fake_skimage():
 
     seg.find_boundaries = find_boundaries
     skimage.segmentation = seg
+
+    draw = types.ModuleType("skimage.draw")
+
+    def disk(center, radius, shape=None):
+        # skimage.draw.disk == ellipse(r, c, radius, radius): strict < 1
+        r0, c0 = center
+        size = int(np.ceil(radius)) * 2 + 1
+        rr, cc = np.mgrid[: size + int(r0), : size + int(c0)]
+        mask = ((rr - r0) / radius) ** 2 + ((cc - c0) / radius) ** 2 < 1.0
+        rr, cc = np.nonzero(mask)
+        if shape is not None:
+            keep = (rr < shape[0]) & (cc < shape[1])
+            rr, cc = rr[keep], cc[keep]
+        return rr, cc
+
+    draw.disk = disk
+    skimage.draw = draw
     sys.modules.setdefault("skimage", skimage)
     sys.modules.setdefault("skimage.segmentation", seg)
+    sys.modules.setdefault("skimage.draw", draw)
 
 
 def _patch_cuda_to_cpu():
@@ -269,6 +287,19 @@ def _patch_cuda_to_cpu():
     nn.Module.cuda = lambda self, *a, **k: self
 
 
+def _fake_wandb():
+    """`model/engine/trainer.py:24` imports wandb at module level; the
+    composite-loss oracle only needs `calc_loss`/`increase_w_task` from that
+    module, never a live run, so a no-op logger suffices."""
+    if "wandb" in sys.modules:
+        return
+    wandb = types.ModuleType("wandb")
+    wandb.log = lambda *a, **k: None
+    wandb.init = lambda *a, **k: None
+    wandb.watch = lambda *a, **k: None
+    sys.modules["wandb"] = wandb
+
+
 def install():
     global _installed
     if _installed:
@@ -277,10 +308,22 @@ def install():
     _fake_torchvision()
     _fake_timm()
     _fake_skimage()
+    _fake_wandb()
     _patch_cuda_to_cpu()
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
     _installed = True
+
+
+def patch_dsrl_no_imagenet():
+    """DSRL's ResNet101 downloads from model_zoo at construction
+    (`DSRL/backbone/resnet.py:74-146`); no egress here, and the oracle
+    overwrites every weight anyway."""
+    install()
+    from model.modeling.DSRL.backbone import resnet
+
+    resnet.ResNet._load_pretrained_model = lambda self: None
+    resnet.model_zoo.load_url = lambda *a, **k: {}
 
 
 def patch_extractors_no_imagenet():

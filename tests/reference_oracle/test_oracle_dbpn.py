@@ -32,6 +32,7 @@ def test_dbpn_forward_matches_reference(num_stages, net_name):
         x0 = jnp.zeros((1, 16, 16, 3), jnp.float64)
         variables = model.init({"params": jax.random.PRNGKey(7)}, x0, None,
                                False, train=False)
+        variables = util.promote_f64(variables)
         sd = util.export_module(variables, "sr_model", translators.translate_dbpn)
 
         ref_net = getattr(ref_dbpn, net_name)(4, 3).double().eval()

@@ -91,3 +91,19 @@ def max_abs_diff(torch_out, ours_nhwc):
 def x64():
     """Context manager enabling 64-bit jax types (f64 parity runs)."""
     return jax.enable_x64(True)
+
+
+def promote_f64(variables):
+    """Promote every variable leaf (params AND batch_stats) to float64.
+
+    flax's `_normalize` computes `mul = lax.rsqrt(var + epsilon)` in the
+    running-stat dtype (normalization.py) — f32 by default — and only THEN
+    multiplies into the f64 activations, injecting ~6e-8 relative error per
+    eval-mode BatchNorm; torch's `.double()` nets compute the rsqrt in f64.
+    Promoting the stats (values are exact f32→f64 promotions, so the
+    exported torch state dict is unchanged) makes the comparison pure-f64
+    on both sides.  Root-caused via a 1-ulp input-perturbation probe:
+    model chaos amplification is ≤4e-13, so the observed 1e-7..5e-6
+    BN-count-proportional diffs had to be a precision leak, not noise.
+    """
+    return jax.tree_util.tree_map(lambda a: a.astype(jnp.float64), variables)
