@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.blur import gaussian_kernels, identity_kernels, degrade
+from ..ops.blur import identity_kernels, degrade, make_kernel_sampler
 from ..ops.resize import resize
 from ..metrics.device_metrics import psnr, ssim, iou_thresholds, kernel_psnr
 from ..parallel.mesh import make_mesh, shard_batch, batch_sharding
@@ -41,13 +41,22 @@ def make_degrade_fn(cfg):
     sf = int(cfg.MODEL.SCALE_FACTOR)
     ksize = int(cfg.BLUR.KERNEL_SIZE_OUTPUT)
     blur_flag = bool(cfg.BLUR.FLAG)
-    isotropic = bool(cfg.BLUR.ISOTROPIC)
     method = cfg.SOLVER.DOWNSCALE_INTERPOLATION
+    # BLUR.MODE dispatch (set_blur surface, `blur/blur.py:207-238`); the
+    # shipped recipes keep the reference's hardcoded "gaus"
+    sampler = make_kernel_sampler(
+        mode=cfg.BLUR.MODE,
+        size=ksize,
+        sigma_range=tuple(cfg.BLUR.SIGMA_RANGE),
+        sigma_range2=tuple(cfg.BLUR.SIGMA_RANGE2) or None,
+        ratio_range=tuple(cfg.BLUR.RATIO_RANGE),
+        isotropic=bool(cfg.BLUR.ISOTROPIC),
+    )
 
     def fn(hr, key):
         b = hr.shape[0]
         if blur_flag:
-            kernels = gaussian_kernels(key, b, ksize, (0.2, 4.0), isotropic=isotropic)
+            kernels = sampler(key, b)
         else:
             kernels = identity_kernels(b, ksize)
         blurred_lr = degrade(hr, kernels, sf, method)

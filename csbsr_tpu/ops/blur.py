@@ -29,6 +29,7 @@ __all__ = [
     "disk_kernels",
     "motion_kernels",
     "kernel_compound",
+    "make_kernel_sampler",
     "batch_blur",
     "degrade",
     "identity_kernels",
@@ -161,6 +162,51 @@ def kernel_compound(kernel_a: jnp.ndarray, kernel_b: jnp.ndarray) -> jnp.ndarray
     return out / jnp.sum(out, axis=(1, 2), keepdims=True)
 
 
+def make_kernel_sampler(
+    mode: str = "gaus",
+    size: int = 21,
+    sigma_range: Tuple[float, float] = (0.2, 4.0),
+    sigma_range2: Tuple[float, float] | None = None,
+    ratio_range: Tuple[float, float] = (0.1, 1.0),
+    isotropic: bool = False,
+):
+    """Blur-mode dispatcher mirroring `set_blur` (`blur.py:207-238`):
+    mode in {"gaus", "disk", "motion", "all_rand", "<ker1>-<ker2>"}.
+
+    Returns a jit-stable `sample(key, batch) -> (batch, size, size)` kernels
+    function.  "all_rand" = motion ∘ (gaus or disk), chosen per SAMPLE here
+    (the reference chooses per __getitem__ call, i.e. per sample too —
+    `np.random.randint(2)` at `blur.py:225`); "<a>-<b>" composes two named
+    families with `kernel_compound`.
+    """
+    families = {
+        "gaus": lambda key, b: gaussian_kernels(
+            key, b, size, sigma_range, sigma_range2, isotropic=isotropic),
+        "disk": lambda key, b: disk_kernels(key, b, size, ratio_range),
+        "motion": lambda key, b: motion_kernels(key, b, size, ratio_range),
+    }
+    if mode in families:
+        return families[mode]
+    if mode == "all_rand":
+        def sample(key, b):
+            k_sel, k_m, k_g, k_d = jax.random.split(key, 4)
+            misc = jnp.where(
+                jax.random.bernoulli(k_sel, 0.5, (b,))[:, None, None],
+                families["gaus"](k_g, b),
+                families["disk"](k_d, b),
+            )
+            return kernel_compound(families["motion"](k_m, b), misc)
+        return sample
+    if "-" in mode:
+        name_a, name_b = mode.split("-")
+        fam_a, fam_b = families[name_a], families[name_b]
+        def sample(key, b):
+            k_a, k_b = jax.random.split(key)
+            return kernel_compound(fam_a(k_a, b), fam_b(k_b, b))
+        return sample
+    raise ValueError(f"unknown blur mode {mode!r}")
+
+
 def identity_kernels(batch: int, size: int) -> jnp.ndarray:
     """Delta kernels for BLUR.FLAG=False (`crack_dataset.py:56-58`)."""
     k = jnp.zeros((batch, size, size), jnp.float32)
@@ -189,9 +235,10 @@ def batch_blur(images: jnp.ndarray, kernels: jnp.ndarray, stride: int = 1) -> jn
     wgt = jnp.repeat(kernels[:, None], c, axis=1)  # (B, C, k, k)
     wgt = wgt.reshape(b * c, k, k)  # b-major, matching the input layout
     wgt = jnp.transpose(wgt[..., None], (1, 2, 3, 0))  # (k, k, 1, B*C)
+    acc = jnp.float64 if images.dtype == jnp.float64 else jnp.float32
     out = jax.lax.conv_general_dilated(
-        x.astype(jnp.float32),
-        wgt.astype(jnp.float32),
+        x.astype(acc),
+        wgt.astype(acc),
         (stride, stride),
         [(pad, pad), (pad, pad)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -228,13 +275,14 @@ def _batch_blur_s2d(images: jnp.ndarray, kernels: jnp.ndarray, stride: int) -> j
     xs = xs.transpose(0, 1, 3, 2, 4, 5)  # (B, Hp/s, Wp/s, s, s, C)
     kpad = jnp.pad(kernels, ((0, 0), (0, kp - k), (0, kp - k)))
     kk = kpad.reshape(b, t, s, t, s)  # (B, a, dy, b', dx)
-    out = jnp.zeros((b, h_out, w_out, c), jnp.float32)
+    acc = jnp.float64 if images.dtype == jnp.float64 else jnp.float32
+    out = jnp.zeros((b, h_out, w_out, c), acc)
     for a in range(t):
         for bb in range(t):
             block = jax.lax.dynamic_slice(
                 xs, (0, a, bb, 0, 0, 0), (b, h_out, w_out, s, s, c)
-            ).astype(jnp.float32)
-            out = out + jnp.einsum("bhwijc,bij->bhwc", block, kk[:, a, :, bb, :].astype(jnp.float32))
+            ).astype(acc)
+            out = out + jnp.einsum("bhwijc,bij->bhwc", block, kk[:, a, :, bb, :].astype(acc))
     return out.astype(images.dtype)
 
 

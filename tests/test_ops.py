@@ -18,6 +18,9 @@ from csbsr_tpu.ops import (
     joint_patch,
 )
 
+# whole-file quick tier: op/util-level tests, no large jit graphs
+pytestmark = pytest.mark.quick
+
 
 # ------------------------------------------------------------------ resize
 @pytest.mark.parametrize("in_hw,out_hw", [((32, 32), (8, 8)), ((8, 8), (32, 32)), ((56, 56), (224, 224))])
@@ -156,6 +159,41 @@ def test_kernel_compound_normalised(rng):
     out = kernel_compound(a, b)
     assert out.shape == (2, 21, 21)
     np.testing.assert_allclose(np.asarray(out).sum(axis=(1, 2)), 1.0, atol=1e-5)
+
+
+@pytest.mark.quick
+@pytest.mark.parametrize("mode", ["gaus", "disk", "motion", "all_rand", "motion-gaus"])
+def test_kernel_sampler_modes(mode):
+    """`make_kernel_sampler` dispatch parity with `set_blur`
+    (`blur/blur.py:207-238`): every mode yields normalised, non-negative,
+    jit-stable (B, k, k) kernels."""
+    from csbsr_tpu.ops.blur import make_kernel_sampler
+
+    sample = make_kernel_sampler(mode=mode, size=21)
+    ks = jax.jit(sample, static_argnums=1)(jax.random.PRNGKey(3), 4)
+    ks = np.asarray(ks)
+    assert ks.shape == (4, 21, 21)
+    assert (ks >= 0).all()
+    np.testing.assert_allclose(ks.sum(axis=(1, 2)), 1.0, atol=1e-5)
+    # distinct kernels per sample (the point of per-sample randomness)
+    assert not np.allclose(ks[0], ks[1])
+
+
+def test_kernel_sampler_gaus_matches_gaussian_kernels():
+    """mode='gaus' must be exactly the plain gaussian generator."""
+    from csbsr_tpu.ops.blur import make_kernel_sampler
+
+    key = jax.random.PRNGKey(9)
+    ours = make_kernel_sampler(mode="gaus", size=13, sigma_range=(0.2, 4.0))(key, 3)
+    ref = gaussian_kernels(key, 3, size=13, sigma_range=(0.2, 4.0))
+    np.testing.assert_array_equal(np.asarray(ours), np.asarray(ref))
+
+
+def test_kernel_sampler_unknown_mode():
+    from csbsr_tpu.ops.blur import make_kernel_sampler
+
+    with pytest.raises(ValueError):
+        make_kernel_sampler(mode="nope")
 
 
 # ------------------------------------------------------------------- patch

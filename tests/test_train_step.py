@@ -69,6 +69,7 @@ def _setup(cfg, batch):
     return model, pc, state, step
 
 
+@pytest.mark.quick
 def test_phase_windows():
     cfg = tiny_cfg()
     pc = phase_config_from_cfg(cfg, 100)
@@ -80,6 +81,7 @@ def test_phase_windows():
     assert not bool(p10["in_sr_pretrain"]) and not bool(p10["in_kernel_window"])
 
 
+@pytest.mark.quick
 def test_train_step_runs_and_loss_decreases(rng):
     # empty pretrain windows: every iteration is the joint phase, so the
     # total loss is comparable across steps
@@ -145,6 +147,7 @@ def test_zero1_state_sharding_matches_replicated(rng):
         np.testing.assert_allclose(a, b, atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.quick
 def test_leaf_shard_spec_placement_rules():
     """Weights shard only on their trailing output-feature dim (sharding a
     conv kernel's reduction dim while its activations are spatially sharded
@@ -228,3 +231,20 @@ def test_eval_step(rng):
     assert m["psnr"].shape == (8,)
     assert np.isfinite(np.asarray(m["psnr"])).all()
     assert outputs["seg"].shape == (8, 32, 32, 1)
+
+
+@pytest.mark.quick
+def test_degrade_fn_blur_mode_dispatch(rng):
+    """BLUR.MODE is honored inside the jitted degradation step
+    (`set_blur` surface, reference `blur/blur.py:207-238`)."""
+    batch = make_batch(rng, b=4)
+    key = jax.random.PRNGKey(7)
+    outs = {}
+    for mode in ("gaus", "disk", "all_rand"):
+        cfg = tiny_cfg(**{"BLUR.MODE": mode})
+        lr, k = jax.jit(make_degrade_fn(cfg))(batch["hr"], key)
+        assert lr.shape == (4, 8, 8, 3) and k.shape == (4, 7, 7)
+        np.testing.assert_allclose(np.asarray(k).sum(axis=(1, 2)), 1.0, atol=1e-5)
+        outs[mode] = np.asarray(k)
+    assert not np.allclose(outs["gaus"], outs["disk"])
+    assert not np.allclose(outs["gaus"], outs["all_rand"])
