@@ -1,4 +1,5 @@
 """Banded-map conv chain vs dense reference (exactness)."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -9,6 +10,9 @@ from csbsr_tpu.ops.banded import (
     banded_conv1x1,
     materialize,
 )
+
+# whole-file quick tier: op/util-level tests, no large jit graphs
+pytestmark = pytest.mark.quick
 
 
 def _dense_conv(x, k, pad=1):

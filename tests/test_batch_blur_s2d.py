@@ -5,6 +5,9 @@ import jax.numpy as jnp
 
 from csbsr_tpu.ops.blur import batch_blur
 
+# whole-file quick tier: op/util-level tests, no large jit graphs
+pytestmark = pytest.mark.quick
+
 
 @pytest.mark.parametrize("hw,k,s", [(32, 21, 4), (16, 7, 4), (24, 5, 2), (32, 21, 1)])
 def test_batch_blur_strides_match_torch(rng, hw, k, s):

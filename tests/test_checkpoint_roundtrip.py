@@ -7,6 +7,7 @@ the optimizer - we reload everything, an intentional improvement noted in
 VERDICT r1 #65) and the `train.py --resume_iter` semantics: step counter,
 alpha / lr_mult (pure functions of step), and optimizer state all continue.
 """
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -24,6 +25,7 @@ def _leaves_equal(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.quick
 def test_checkpoint_roundtrip_bit_identical(rng, tmp_path):
     cfg = tiny_cfg(**{"INPUT.IMAGE_SIZE": [16, 16]})
     cfg.OUTPUT_DIR = str(tmp_path)

@@ -134,6 +134,7 @@ def test_released_cli_roundtrip_dsrl_joint(tmp_path):
     _roundtrip(str(p), [], tmp_path, lr_hw=16)
 
 
+@pytest.mark.quick
 def test_parity_check_cli_runs(tmp_path):
     """tools/parity_check.py end to end on synthetic weights + fixture data:
     converts, evaluates, emits the comparison JSON (parity False with random

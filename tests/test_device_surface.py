@@ -44,6 +44,7 @@ def test_device_matches_host_random_banks(seed):
     np.testing.assert_allclose(np.asarray(msd_dev), msd_host, rtol=1e-4, atol=1e-3)
 
 
+@pytest.mark.quick
 def test_device_empty_conventions():
     h = w = 32
     empty = np.zeros((h, w), bool)

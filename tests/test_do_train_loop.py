@@ -133,6 +133,7 @@ def test_train_cli_only_images(tmp_path):
     assert any("eval/psnr" in r_ for r_ in rows)
 
 
+@pytest.mark.quick
 def test_metrics_logger_histograms(tmp_path):
     """MetricsLogger.log_histograms = the wandb.watch(log='all') analog
     (trainer.py:52): per-tensor histograms to wandb when live, one

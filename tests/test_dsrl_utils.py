@@ -16,6 +16,9 @@ from csbsr_tpu.utils.dsrl_utils import (
     label_counts,
 )
 
+# whole-file quick tier: op/util-level tests, no large jit graphs
+pytestmark = pytest.mark.quick
+
 
 def test_class_balance_weights_formula():
     counts = np.array([900.0, 90.0, 10.0])

@@ -14,6 +14,7 @@ from csbsr_tpu.models.extensions import (
 )
 
 
+@pytest.mark.quick
 def test_criss_cross_shapes_and_identity_at_init(rng):
     m = CrissCrossAttention()
     x = jnp.asarray(rng.rand(2, 8, 10, 16).astype(np.float32))
@@ -83,6 +84,7 @@ def test_pac_conv_uniform_guide_equals_conv(rng):
     )
 
 
+@pytest.mark.quick
 def test_switch_norm_normalises(rng):
     m = SwitchNorm2d()
     x = jnp.asarray((rng.rand(4, 8, 8, 6) * 5 + 3).astype(np.float32))
@@ -100,6 +102,7 @@ def test_frn_shapes(rng):
     assert (out >= 0).all()  # tau inits 0, gamma 1, beta 0 -> relu-like
 
 
+@pytest.mark.quick
 def test_matlab_metrics(rng):
     from csbsr_tpu.metrics.matlab import calculate_psnr, calculate_ssim, imresize, rgb2ycbcr
 

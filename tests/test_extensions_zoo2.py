@@ -51,6 +51,7 @@ def test_pac_pool_uniform_guide_equals_avg_pool(rng):
     np.testing.assert_allclose(out, ref, atol=1e-5)
 
 
+@pytest.mark.quick
 def test_pac_gauss_kernel_matches_formula(rng):
     g = rng.rand(1, 6, 6, 3).astype(np.float32)
     k = np.asarray(pac_gauss_kernel(jnp.asarray(g), 3, 1, 1, 1))
@@ -151,6 +152,7 @@ def test_pac_crf_runs_and_zero_pairwise_is_identity(rng):
     np.testing.assert_allclose(out0, np.asarray(unary), atol=1e-6)
 
 
+@pytest.mark.quick
 def test_bn_relu_sn_and_frn_wired(rng):
     import flax.linen as nn
 

@@ -4,6 +4,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from csbsr_tpu.ops.gap_conv import gap_conv3x3
+import pytest
+
+# whole-file quick tier: op/util-level tests, no large jit graphs
+pytestmark = pytest.mark.quick
 
 
 def _dense(x, k):

@@ -1,7 +1,11 @@
 """HRNet JSON configer shim."""
 import json
+import pytest
 import jax
 import jax.numpy as jnp
+
+# whole-file quick tier: op/util-level tests, no large jit graphs
+pytestmark = pytest.mark.quick
 
 
 def test_configer_json_roundtrip(tmp_path):

@@ -157,6 +157,7 @@ def test_tti_inference_end_to_end(retinal_fixture_dirs, tmp_path):
     assert os.path.isdir(os.path.join(out_dir, "kernels_sum"))
 
 
+@pytest.mark.quick
 def test_chop_forward_matches_direct(rng):
     from csbsr_tpu.utils.misc import chop_forward
     from csbsr_tpu.ops.resize import resize

@@ -24,6 +24,7 @@ def _params_equal(a, b):
     (DeconvBlock, dict(features=12, kernel_size=8, stride=4, padding=2,
                        use_bias=True, activation="prelu", norm=None, prelu_init=0.25)),
 ])
+@pytest.mark.quick
 def test_int8_param_layout_and_error(monkeypatch, cls, kw):
     x = jnp.asarray(np.random.RandomState(0).randn(2, 16, 16, 8).astype(np.float32))
 
@@ -50,6 +51,7 @@ def test_int8_param_layout_and_error(monkeypatch, cls, kw):
     assert rel < 0.05, rel
 
 
+@pytest.mark.quick
 def test_int8_train_path_is_exact(monkeypatch):
     # train=True must bypass quantization entirely (identical to bf16 path)
     x = jnp.asarray(np.random.RandomState(1).randn(2, 8, 8, 4).astype(np.float32))

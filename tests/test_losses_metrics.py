@@ -21,6 +21,9 @@ from csbsr_tpu.metrics import (
     calc_distance_metrics,
 )
 
+# whole-file quick tier: op/util-level tests, no large jit graphs
+pytestmark = pytest.mark.quick
+
 
 def _rand_pred_target(rng, b=2, h=24, w=24):
     pred = rng.rand(b, h, w, 1).astype(np.float32)

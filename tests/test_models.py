@@ -18,6 +18,7 @@ def _init_and_run(model, *args, train=False, rngs=None):
     return out
 
 
+@pytest.mark.quick
 def test_dbpn_shapes():
     from csbsr_tpu.models.dbpn import DBPN
 
@@ -44,6 +45,7 @@ def test_kbpn_shapes():
     np.testing.assert_allclose(np.asarray(kernel2), np.asarray(kv), rtol=1e-5)
 
 
+@pytest.mark.quick
 def test_unet16_shapes():
     from csbsr_tpu.models.unet import UNet16
 

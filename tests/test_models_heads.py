@@ -74,6 +74,7 @@ def test_dsrl_shapes():
     assert fea_seg.shape == (1, 128, 128, 3)
 
 
+@pytest.mark.quick
 def test_max_unpool_roundtrip(rng):
     from csbsr_tpu.models.blocks import max_pool_with_indices, max_unpool
 

@@ -7,6 +7,7 @@ form a jax.distributed cluster over localhost (4 virtual CPU devices each),
 each feeds its half of the global batch, and one sharded train step runs
 over the 8-device cross-process mesh.
 """
+import pytest
 import json
 import os
 import socket
@@ -24,6 +25,7 @@ def _free_port():
     return port
 
 
+@pytest.mark.quick
 def test_loader_process_slicing():
     from csbsr_tpu.data import IterationBasedLoader
 

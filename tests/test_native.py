@@ -5,6 +5,9 @@ import pytest
 from csbsr_tpu.native import load, surface_metrics_native, edt_native
 from csbsr_tpu.metrics.surface_distance import calc_distance_metrics
 
+# whole-file quick tier: op/util-level tests, no large jit graphs
+pytestmark = pytest.mark.quick
+
 
 @pytest.fixture(scope="module")
 def native_lib():

@@ -83,6 +83,7 @@ def test_segfix_hrnet_heads(x32):
     assert mask.shape[1:3] == direc.shape[1:3]
 
 
+@pytest.mark.quick
 def test_offset_sample_identity_and_shift(rng):
     x = jnp.asarray(rng.rand(1, 6, 8, 3).astype(np.float32))
     zero = jnp.zeros((1, 6, 8, 2))
@@ -94,6 +95,7 @@ def test_offset_sample_identity_and_shift(rng):
     np.testing.assert_allclose(out[:, :, -1], np.asarray(x)[:, :, -1], atol=1e-6)
 
 
+@pytest.mark.quick
 def test_model_manager_registry():
     """model_manager.py:44-88 parity: every name constructs the right class."""
     from csbsr_tpu.models.openseg import SEG_MODEL_DICT, semantic_segmentor
@@ -107,6 +109,7 @@ def test_model_manager_registry():
         semantic_segmentor("not_a_net")
 
 
+@pytest.mark.quick
 def test_direction_offsets_eight():
     from csbsr_tpu.models.openseg import direction_offsets
 

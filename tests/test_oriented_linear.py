@@ -1,6 +1,7 @@
 """Golden tests for the linear (Gaussian-conv) oriented-weight variants
 (`/root/reference/model/utils/oriented_weight.py:26-44,61-70`), and the
 config knob that selects them (TPU.ORIENTED_WEIGHT_VARIANT='linear')."""
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -9,6 +10,9 @@ from csbsr_tpu.losses import (
     oriented_gaussian_map,
     segment_failure_oriented_weight,
 )
+
+# whole-file quick tier: op/util-level tests, no large jit graphs
+pytestmark = pytest.mark.quick
 
 
 def _ref_gaussian(size, sigma):

@@ -4,6 +4,10 @@ import jax.numpy as jnp
 
 from csbsr_tpu.ops.edt import _scan_1d_distance, _min_plus_rows
 from csbsr_tpu.ops.pallas.minplus import minplus_rows_pallas
+import pytest
+
+# whole-file quick tier: op/util-level tests, no large jit graphs
+pytestmark = pytest.mark.quick
 
 
 def test_minplus_pallas_matches_xla(rng):

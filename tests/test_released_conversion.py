@@ -18,6 +18,7 @@ from csbsr_tpu.utils.pretrained import convert_joint_checkpoint
 from csbsr_tpu.utils.torch_convert import convert_tree, export_params_to_torch_names
 
 
+@pytest.mark.quick
 def test_pspnet_blurskip_translator_full_coverage():
     from csbsr_tpu.models.pspnet import PSPNetBlurSkip
     from tests.test_translators import _roundtrip
@@ -162,6 +163,7 @@ def test_dsrl_pth_load_path(tmp_path, monkeypatch):
         )
 
 
+@pytest.mark.quick
 def test_convert_joint_checkpoint_rejects_incomplete():
     from tests.test_train_step import tiny_cfg
     from csbsr_tpu.models import model_from_cfg

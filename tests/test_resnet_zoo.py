@@ -20,6 +20,7 @@ def _shapes(arch, hw=32):
     return [o.shape for o in out]
 
 
+@pytest.mark.quick
 def test_arch_table_complete():
     # EXACTLY the live entries of the reference dispatch
     # (resnet_backbone.py:137-288; dcn_* is dead code there, wsl_* is the
@@ -120,6 +121,7 @@ def test_net_with_alternate_backbone():
     assert np.isfinite(np.asarray(main)).all()
 
 
+@pytest.mark.quick
 def test_unknown_arch_raises():
     m = ResNetZooBackbone(arch="senet154")
     with pytest.raises(NotImplementedError):

@@ -6,6 +6,9 @@ import jax.numpy as jnp
 
 from csbsr_tpu.ops.s2d import s2d_conv, s2d_deconv, can_s2d_conv, can_s2d_deconv
 
+# whole-file quick tier: op/util-level tests, no large jit graphs
+pytestmark = pytest.mark.quick
+
 
 GEOMS = [(6, 2, 2), (8, 4, 2), (4, 2, 1), (2, 2, 0), (12, 8, 2)]
 

@@ -2,6 +2,7 @@
 the mesh and the jitted forward runs one program across all 8 virtual
 devices — the TPU-native version of test-time DataParallel
 (`/root/reference/test.py:73-76`)."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -11,6 +12,7 @@ from csbsr_tpu.models import model_from_cfg
 from csbsr_tpu.parallel.mesh import make_mesh, batch_sharding, replicated
 
 
+@pytest.mark.quick
 def test_sharded_inference_matches_single_device(rng):
     cfg = tiny_cfg(**{"INPUT.IMAGE_SIZE": [32, 32]})
     model = model_from_cfg(cfg)

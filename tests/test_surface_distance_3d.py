@@ -21,6 +21,7 @@ from csbsr_tpu.metrics.surface_distance import (
 )
 
 
+@pytest.mark.quick
 def test_table_analytic_values():
     t = _surface_area_table_3d((1.0, 1.0, 1.0))
     assert t[0] == 0.0 and t[255] == 0.0
@@ -46,6 +47,7 @@ def test_table_anisotropic_scaling():
     assert t[1] == pytest.approx(expect)
 
 
+@pytest.mark.quick
 def test_kernel_layout():
     # bit weight of offset (a0,a1,a2) is 128 >> (4*a0 + 2*a1 + a2) - the
     # reference's ENCODE_NEIGHBOURHOOD_3D_KERNEL (lookup_tables.py:23)
@@ -112,6 +114,7 @@ def test_edge_touching_object():
     assert 0 < area <= 6 * 9.0
 
 
+@pytest.mark.quick
 def test_dim_mismatch_raises():
     m2 = np.zeros((4, 4), bool)
     m3 = np.zeros((4, 4, 4), bool)

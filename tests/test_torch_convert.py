@@ -1,4 +1,5 @@
 """Structural round-trip tests for the torch<->flax converter."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -9,6 +10,9 @@ from csbsr_tpu.utils.torch_convert import (
     strip_prefixes,
     translate_vgg_feat,
 )
+
+# whole-file quick tier: op/util-level tests, no large jit graphs
+pytestmark = pytest.mark.quick
 
 
 def test_vgg_feat_roundtrip(rng):

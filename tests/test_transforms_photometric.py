@@ -21,6 +21,9 @@ from csbsr_tpu.data.transforms import (
     TrainTransforms,
 )
 
+# whole-file quick tier: op/util-level tests, no large jit graphs
+pytestmark = pytest.mark.quick
+
 
 def _img(rng, h=8, w=8, c=3, scale=255.0):
     return (rng.rand(h, w, c) * scale).astype(np.float32)

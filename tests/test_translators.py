@@ -9,6 +9,9 @@ from flax import traverse_util
 from csbsr_tpu.utils.torch_convert import convert_tree, export_params_to_torch_names
 from csbsr_tpu.utils import translators
 
+# whole-file quick tier: op/util-level tests, no large jit graphs
+pytestmark = pytest.mark.quick
+
 
 def _roundtrip(params, batch_stats, translate, allow_missing=()):
     flat = traverse_util.flatten_dict(params)
