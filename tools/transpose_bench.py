@@ -1,0 +1,195 @@
+#!/usr/bin/env python
+"""Microbenchmark of the k8s4 (de)conv gradient kernels (VERDICT r3 #3).
+
+PERF.md round 3 names "transpose-pass kernel efficiency (~53-60 TF/s vs
+120-165 TF/s for the individual forward convs)" as the second binding
+constraint on training MFU.  This tool isolates exactly those kernels at
+flagship shapes (KBPN back-projection: 64-channel k=8 s=4 p=2 conv 224->56
+and deconv 56->224, the geometry of `models/blocks.py` Up/DownBlock) and
+measures, per variant:
+
+    fwd          the forward conv/deconv
+    gx           grad wrt input  (the actual transpose-pass kernel)
+    gw           grad wrt weights (the batch-reduction kernel)
+    fwd+bwd      one fused vjp program (what the train step runs)
+
+variants:
+    native       lax.conv_general_dilated / transposed via lhs_dilation
+                 (what the model uses since round 2 - PERF.md "do NOT
+                 hand-lower convs without re-measuring")
+    s2d          ops/s2d space-to-depth lowering (and ITS autodiff)
+
+Timing uses a lax.scan-chained carry (identical rationale to bench.py:
+`block_until_ready` alone under-reports on axon, and unchained iterations
+can be deduped), best-of-2 windows.
+
+Run on the bench chip:  python tools/transpose_bench.py [--batch 32]
+                        [--iters 10] [--json out.json]
+
+Intrinsic FLOPs: 2*B*Hdense*Wdense*k^2*Cin*Cout where Hdense is the
+high-resolution side of the op (224 for both directions), i.e. the same
+multiply-adds whichever lowering executes them.
+"""
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--hr", type=int, default=224)
+    ap.add_argument("--chan", type=int, default=64)
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from csbsr_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    from csbsr_tpu.ops.s2d import s2d_conv, s2d_deconv
+
+    K, S, P = 8, 4, 2
+    B, C = args.batch, args.chan
+    HR, LR = args.hr, args.hr // S
+    rng = np.random.RandomState(0)
+
+    x_hr = jnp.asarray(rng.rand(B, HR, HR, C).astype(np.float32)).astype(jnp.bfloat16)
+    x_lr = jnp.asarray(rng.rand(B, LR, LR, C).astype(np.float32)).astype(jnp.bfloat16)
+    w_conv = jnp.asarray((rng.rand(K, K, C, C) - 0.5).astype(np.float32) * 0.05).astype(jnp.bfloat16)
+    # flax transpose_kernel layout (k, k, O, I)
+    w_deconv = jnp.asarray((rng.rand(K, K, C, C) - 0.5).astype(np.float32) * 0.05).astype(jnp.bfloat16)
+
+    def native_conv(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w, (S, S), [(P, P), (P, P)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    def native_deconv(x, w):
+        # ConvTranspose2d(k,s,p) == conv with lhs_dilation=s, padding k-1-p,
+        # kernel flipped in space with (O,I) as HWIO's I,O - the exact form
+        # flax ConvTranspose(transpose_kernel=True) lowers to.
+        wf = jnp.flip(w, (0, 1)).transpose(0, 1, 3, 2)  # (k,k,I,O) flipped
+        return jax.lax.conv_general_dilated(
+            x, wf, (1, 1),
+            [(K - 1 - P, K - 1 - P)] * 2,
+            lhs_dilation=(S, S),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    def s2d_conv_fn(x, w):
+        return s2d_conv(x, w, S, P).astype(x.dtype)
+
+    def s2d_deconv_fn(x, w):
+        return s2d_deconv(x, w, S, P).astype(x.dtype)
+
+    # intrinsic FLOPs of one op application (fwd); gx and gw each cost the
+    # same multiply-add volume
+    flops_one = 2.0 * B * HR * HR * (K / S) ** 2 * C * C  # = 2*B*56^2*64*64*4
+    # careful: dense output positions = HR side at stride 1 of the dilated
+    # view; per HR-output-pixel work is k^2/s^2 * Cin * Cout MACs summed
+    # over the s^2 phases -> total = 2*B*HR^2*(K^2/S^2)*C^2
+    flops_one = 2.0 * B * HR * HR * (K * K / (S * S)) * C * C
+
+    def timed(fn, *inputs, n=args.iters):
+        """Chained-carry timing: scan n iterations, each feeding a scalar
+        derived from the previous output back into the input."""
+        fn_j = jax.jit(fn)
+        out0 = fn_j(*inputs)
+        jax.block_until_ready(out0)
+
+        def body(carry, _):
+            outs = fn_j(*jax.tree_util.tree_map(
+                lambda a: a * (1.0 + 0.0 * carry).astype(a.dtype), inputs))
+            leaf = jax.tree_util.tree_leaves(outs)[0]
+            return jnp.sum(leaf.astype(jnp.float32)) * 1e-30, None
+
+        @jax.jit
+        def loop():
+            c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
+            return c
+
+        r = loop()
+        jax.block_until_ready(r)  # compile+warm
+        best = np.inf
+        for _ in range(2):
+            t0 = time.perf_counter()
+            jax.block_until_ready(loop())
+            best = min(best, (time.perf_counter() - t0) / n)
+        return best
+
+    results = {}
+
+    def report(name, fn, inputs, n_ops):
+        dt = timed(fn, *inputs)
+        tfs = flops_one * n_ops / dt / 1e12
+        results[name] = {"ms": round(dt * 1e3, 3), "tf_s": round(tfs, 1)}
+        print(f"{name:<28s} {dt*1e3:9.2f} ms   {tfs:7.1f} TF/s")
+
+    for tag, conv, deconv, wc, wd in (
+        ("native", native_conv, native_deconv, w_conv, w_deconv),
+        ("s2d", s2d_conv_fn, s2d_deconv_fn, w_conv, w_deconv),
+    ):
+        # parity guard: both lowerings must agree before their numbers mean
+        # anything (f32 reference on first run only)
+        report(f"{tag}/conv_fwd", conv, (x_hr, wc), 1)
+        report(f"{tag}/deconv_fwd", deconv, (x_lr, wd), 1)
+
+        def conv_gx(x, w, f=conv):
+            return jax.grad(lambda x_: jnp.sum(f(x_, w).astype(jnp.float32)))(x)
+
+        def conv_gw(x, w, f=conv):
+            return jax.grad(lambda w_: jnp.sum(f(x, w_).astype(jnp.float32)))(w)
+
+        def deconv_gx(x, w, f=deconv):
+            return jax.grad(lambda x_: jnp.sum(f(x_, w).astype(jnp.float32)))(x)
+
+        def deconv_gw(x, w, f=deconv):
+            return jax.grad(lambda w_: jnp.sum(f(x, w_).astype(jnp.float32)))(w)
+
+        report(f"{tag}/conv_gx", conv_gx, (x_hr, wc), 1)
+        report(f"{tag}/conv_gw", conv_gw, (x_hr, wc), 1)
+        report(f"{tag}/deconv_gx", deconv_gx, (x_lr, wd), 1)
+        report(f"{tag}/deconv_gw", deconv_gw, (x_lr, wd), 1)
+
+        def conv_vjp(x, w, f=conv):
+            out, pull = jax.vjp(f, x, w)
+            gx, gw = pull(jnp.ones_like(out))
+            return out, gx, gw
+
+        def deconv_vjp(x, w, f=deconv):
+            out, pull = jax.vjp(f, x, w)
+            gx, gw = pull(jnp.ones_like(out))
+            return out, gx, gw
+
+        report(f"{tag}/conv_fwd+bwd", conv_vjp, (x_hr, wc), 3)
+        report(f"{tag}/deconv_fwd+bwd", deconv_vjp, (x_lr, wd), 3)
+
+    # cross-lowering parity (bf16 tolerance)
+    a = np.asarray(native_conv(x_hr, w_conv), np.float32)
+    b = np.asarray(s2d_conv_fn(x_hr, w_conv), np.float32)
+    print("conv parity maxdiff:", np.abs(a - b).max())
+    a = np.asarray(native_deconv(x_lr, w_deconv), np.float32)
+    b = np.asarray(s2d_deconv_fn(x_lr, w_deconv), np.float32)
+    print("deconv parity maxdiff:", np.abs(a - b).max())
+
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(results, f, indent=1)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
