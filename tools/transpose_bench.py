@@ -26,6 +26,15 @@ can be deduped), best-of-2 windows.
 Run on the bench chip:  python tools/transpose_bench.py [--batch 32]
                         [--iters 10] [--json out.json]
 
+`--sweep` additionally pins the CAUSE of whatever ceiling the base run
+shows: for channel widths C in {64, 128, 256} it measures the native
+conv/deconv fwd and grad-wrt-input kernels AND a matched-contraction pure
+matmul (the s2d algebra makes conv k8s4 at width C a
+(B*56^2, 64C) x (64C, C) matmul - N=C output lanes on a 128-lane MXU).
+If conv TF/s tracks the matmul roof at every width, XLA's conv kernels
+are already at the matmul ceiling for these shapes and the gap is a
+property of the architecture's base_filter=64, not of kernel scheduling.
+
 Intrinsic FLOPs: 2*B*Hdense*Wdense*k^2*Cin*Cout where Hdense is the
 high-resolution side of the op (224 for both directions), i.e. the same
 multiply-adds whichever lowering executes them.
@@ -50,6 +59,8 @@ def main():
     ap.add_argument("--hr", type=int, default=224)
     ap.add_argument("--chan", type=int, default=64)
     ap.add_argument("--json", default=None)
+    ap.add_argument("--sweep", action="store_true",
+                    help="channel-width sweep + matched matmul roofs")
     args = ap.parse_args()
 
     import jax
@@ -176,6 +187,60 @@ def main():
 
         report(f"{tag}/conv_fwd+bwd", conv_vjp, (x_hr, wc), 3)
         report(f"{tag}/deconv_fwd+bwd", deconv_vjp, (x_lr, wd), 3)
+
+    if args.sweep:
+        # Width sweep: same geometry, C in {64,128,256}, vs the matched
+        # pure-matmul roof. flops scale as C^2; the matmul has the exact
+        # contraction the s2d regrouping produces (K=64C, N=C).
+        print("\n--- width sweep (native) + matmul roof ---")
+        for Cs in (64, 128, 256):
+            xs_hr = jnp.asarray(
+                rng.rand(B, HR, HR, Cs).astype(np.float32)).astype(jnp.bfloat16)
+            xs_lr = jnp.asarray(
+                rng.rand(B, LR, LR, Cs).astype(np.float32)).astype(jnp.bfloat16)
+            wc = jnp.asarray(
+                (rng.rand(K, K, Cs, Cs) - 0.5).astype(np.float32) * 0.05
+            ).astype(jnp.bfloat16)
+            wd = jnp.asarray(
+                (rng.rand(K, K, Cs, Cs) - 0.5).astype(np.float32) * 0.05
+            ).astype(jnp.bfloat16)
+            fl = 2.0 * B * HR * HR * (K * K / (S * S)) * Cs * Cs
+
+            def rep(name, fn, inputs, n_ops, fl=fl):
+                dt = timed(fn, *inputs)
+                tfs = fl * n_ops / dt / 1e12
+                results[name] = {"ms": round(dt * 1e3, 3), "tf_s": round(tfs, 1)}
+                print(f"{name:<28s} {dt*1e3:9.2f} ms   {tfs:7.1f} TF/s")
+
+            def cgx(x, w):
+                return jax.grad(
+                    lambda x_: jnp.sum(native_conv(x_, w).astype(jnp.float32)))(x)
+
+            def dgx(x, w):
+                return jax.grad(
+                    lambda x_: jnp.sum(native_deconv(x_, w).astype(jnp.float32)))(x)
+
+            rep(f"C{Cs}/conv_fwd", native_conv, (xs_hr, wc), 1)
+            rep(f"C{Cs}/conv_gx", cgx, (xs_hr, wc), 1)
+            rep(f"C{Cs}/deconv_fwd", native_deconv, (xs_lr, wd), 1)
+            rep(f"C{Cs}/deconv_gx", dgx, (xs_lr, wd), 1)
+
+            # matched matmul roof: (B*56^2, 64C) x (64C, C) == same FLOPs
+            # as one conv application (2*B*56^2*64C*C = 2*B*224^2*4*C^2)
+            m = jnp.asarray(
+                rng.rand(B * LR * LR, 64 * Cs).astype(np.float32)
+            ).astype(jnp.bfloat16)
+            mw = jnp.asarray(
+                (rng.rand(64 * Cs, Cs) - 0.5).astype(np.float32) * 0.05
+            ).astype(jnp.bfloat16)
+            rep(f"C{Cs}/matmul_roof", lambda a, b: a @ b, (m, mw), 1)
+            # and the N=128-lane-filled variant of the SAME total FLOPs
+            # (K halved, N doubled) - isolates the lane-fill effect
+            m2 = m[:, : 32 * Cs]
+            mw2 = jnp.asarray(
+                (rng.rand(32 * Cs, 2 * Cs) - 0.5).astype(np.float32) * 0.05
+            ).astype(jnp.bfloat16)
+            rep(f"C{Cs}/matmul_2xlanes", lambda a, b: a @ b, (m2, mw2), 1)
 
     # cross-lowering parity (bf16 tolerance)
     a = np.asarray(native_conv(x_hr, w_conv), np.float32)
