@@ -22,17 +22,12 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--config_file", default=None)
-    ap.add_argument("--ckpt", nargs=2, metavar=("DIR", "ITER"), default=None)
-    ap.add_argument("--batch", type=int, default=32)
-    ap.add_argument("--platform", default=None)
-    args = ap.parse_args()
+def run(config_file=None, ckpt=None, batch=32, patch=56, cfg=None):
+    """Run the bf16-vs-int8 agreement gate; returns the metrics dict.
 
-    if args.platform:
-        os.environ["JAX_PLATFORMS"] = args.platform
-
+    ckpt: (output_dir, iteration) of an orbax checkpoint tree, or None for
+    random init.  Importable so the pytest gate can run it on a freshly
+    trained checkpoint artifact (tests/test_int8_serve.py)."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -46,15 +41,21 @@ def main():
     from csbsr_tpu.config import get_cfg_defaults
     from csbsr_tpu.models import model_from_cfg
 
-    if args.config_file:
-        cfg = get_cfg_defaults()
-        cfg.merge_from_file(args.config_file)
-    else:
-        cfg = _flagship_cfg()
+    class _A:
+        pass
+
+    args = _A()
+    args.ckpt = ckpt
+    if cfg is None:
+        if config_file:
+            cfg = get_cfg_defaults()
+            cfg.merge_from_file(config_file)
+        else:
+            cfg = _flagship_cfg()
     model = model_from_cfg(cfg, dtype=jnp.bfloat16)
 
     rng = np.random.RandomState(0)
-    patches = jnp.asarray(rng.rand(args.batch, 56, 56, 3).astype(np.float32))
+    patches = jnp.asarray(rng.rand(batch, patch, patch, 3).astype(np.float32))
 
     blocks_mod.INT8_SERVE = False
     variables = jax.jit(
@@ -108,7 +109,22 @@ def main():
     }
     if ref.get("kernel") is not None:
         out["kernel_psnr"] = round(psnr(ref["kernel"], q["kernel"]), 2)
-    print(out)
+    blocks_mod.INT8_SERVE = False
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config_file", default=None)
+    ap.add_argument("--ckpt", nargs=2, metavar=("DIR", "ITER"), default=None)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args()
+
+    if args.platform:
+        os.environ["JAX_PLATFORMS"] = args.platform
+
+    print(run(config_file=args.config_file, ckpt=args.ckpt, batch=args.batch))
 
 
 if __name__ == "__main__":
