@@ -78,6 +78,10 @@ def main():
 
     x_hr = jnp.asarray(rng.rand(B, HR, HR, C).astype(np.float32)).astype(jnp.bfloat16)
     x_lr = jnp.asarray(rng.rand(B, LR, LR, C).astype(np.float32)).astype(jnp.bfloat16)
+    # cotangents as DATA (a constant `ones` cotangent invites compile-time
+    # simplification): conv outputs the LR grid, deconv the HR grid
+    dy_lr = jnp.asarray(rng.rand(B, LR, LR, C).astype(np.float32)).astype(jnp.bfloat16)
+    dy_hr = jnp.asarray(rng.rand(B, HR, HR, C).astype(np.float32)).astype(jnp.bfloat16)
     w_conv = jnp.asarray((rng.rand(K, K, C, C) - 0.5).astype(np.float32) * 0.05).astype(jnp.bfloat16)
     # flax transpose_kernel layout (k, k, O, I)
     w_deconv = jnp.asarray((rng.rand(K, K, C, C) - 0.5).astype(np.float32) * 0.05).astype(jnp.bfloat16)
@@ -124,8 +128,13 @@ def main():
         def body(carry, _):
             outs = fn_j(*jax.tree_util.tree_map(
                 lambda a: a * (1.0 + 0.0 * carry).astype(a.dtype), inputs))
-            leaf = jax.tree_util.tree_leaves(outs)[0]
-            return jnp.sum(leaf.astype(jnp.float32)) * 1e-30, None
+            # consume EVERY output leaf: chaining through only one lets XLA
+            # dead-code-eliminate the others inside the scan (the same DCE
+            # trap bench.py's seg head hit, PERF.md round 3) - fused vjp
+            # rows would silently time fwd-only
+            tot = sum(jnp.sum(l.astype(jnp.float32))
+                      for l in jax.tree_util.tree_leaves(outs))
+            return tot * 1e-30, None
 
         @jax.jit
         def loop():
@@ -158,35 +167,35 @@ def main():
         report(f"{tag}/conv_fwd", conv, (x_hr, wc), 1)
         report(f"{tag}/deconv_fwd", deconv, (x_lr, wd), 1)
 
-        def conv_gx(x, w, f=conv):
-            return jax.grad(lambda x_: jnp.sum(f(x_, w).astype(jnp.float32)))(x)
+        def conv_gx(x, w, dy, f=conv):
+            return jax.vjp(lambda x_: f(x_, w), x)[1](dy)[0]
 
-        def conv_gw(x, w, f=conv):
-            return jax.grad(lambda w_: jnp.sum(f(x, w_).astype(jnp.float32)))(w)
+        def conv_gw(x, w, dy, f=conv):
+            return jax.vjp(lambda w_: f(x, w_), w)[1](dy)[0]
 
-        def deconv_gx(x, w, f=deconv):
-            return jax.grad(lambda x_: jnp.sum(f(x_, w).astype(jnp.float32)))(x)
+        def deconv_gx(x, w, dy, f=deconv):
+            return jax.vjp(lambda x_: f(x_, w), x)[1](dy)[0]
 
-        def deconv_gw(x, w, f=deconv):
-            return jax.grad(lambda w_: jnp.sum(f(x, w_).astype(jnp.float32)))(w)
+        def deconv_gw(x, w, dy, f=deconv):
+            return jax.vjp(lambda w_: f(x, w_), w)[1](dy)[0]
 
-        report(f"{tag}/conv_gx", conv_gx, (x_hr, wc), 1)
-        report(f"{tag}/conv_gw", conv_gw, (x_hr, wc), 1)
-        report(f"{tag}/deconv_gx", deconv_gx, (x_lr, wd), 1)
-        report(f"{tag}/deconv_gw", deconv_gw, (x_lr, wd), 1)
+        report(f"{tag}/conv_gx", conv_gx, (x_hr, wc, dy_lr), 1)
+        report(f"{tag}/conv_gw", conv_gw, (x_hr, wc, dy_lr), 1)
+        report(f"{tag}/deconv_gx", deconv_gx, (x_lr, wd, dy_hr), 1)
+        report(f"{tag}/deconv_gw", deconv_gw, (x_lr, wd, dy_hr), 1)
 
-        def conv_vjp(x, w, f=conv):
+        def conv_vjp(x, w, dy, f=conv):
             out, pull = jax.vjp(f, x, w)
-            gx, gw = pull(jnp.ones_like(out))
+            gx, gw = pull(dy)
             return out, gx, gw
 
-        def deconv_vjp(x, w, f=deconv):
+        def deconv_vjp(x, w, dy, f=deconv):
             out, pull = jax.vjp(f, x, w)
-            gx, gw = pull(jnp.ones_like(out))
+            gx, gw = pull(dy)
             return out, gx, gw
 
-        report(f"{tag}/conv_fwd+bwd", conv_vjp, (x_hr, wc), 3)
-        report(f"{tag}/deconv_fwd+bwd", deconv_vjp, (x_lr, wd), 3)
+        report(f"{tag}/conv_fwd+bwd", conv_vjp, (x_hr, wc, dy_lr), 3)
+        report(f"{tag}/deconv_fwd+bwd", deconv_vjp, (x_lr, wd, dy_hr), 3)
 
     if args.sweep:
         # Width sweep: same geometry, C in {64,128,256}, vs the matched
@@ -212,18 +221,29 @@ def main():
                 results[name] = {"ms": round(dt * 1e3, 3), "tf_s": round(tfs, 1)}
                 print(f"{name:<28s} {dt*1e3:9.2f} ms   {tfs:7.1f} TF/s")
 
-            def cgx(x, w):
-                return jax.grad(
-                    lambda x_: jnp.sum(native_conv(x_, w).astype(jnp.float32)))(x)
+            dys_lr = jnp.asarray(
+                rng.rand(B, LR, LR, Cs).astype(np.float32)).astype(jnp.bfloat16)
+            dys_hr = jnp.asarray(
+                rng.rand(B, HR, HR, Cs).astype(np.float32)).astype(jnp.bfloat16)
 
-            def dgx(x, w):
-                return jax.grad(
-                    lambda x_: jnp.sum(native_deconv(x_, w).astype(jnp.float32)))(x)
+            def cgx(x, w, dy):
+                return jax.vjp(lambda x_: native_conv(x_, w), x)[1](dy)[0]
+
+            def cgw(x, w, dy):
+                return jax.vjp(lambda w_: native_conv(x, w_), w)[1](dy)[0]
+
+            def dgx(x, w, dy):
+                return jax.vjp(lambda x_: native_deconv(x_, w), x)[1](dy)[0]
+
+            def dgw(x, w, dy):
+                return jax.vjp(lambda w_: native_deconv(x, w_), w)[1](dy)[0]
 
             rep(f"C{Cs}/conv_fwd", native_conv, (xs_hr, wc), 1)
-            rep(f"C{Cs}/conv_gx", cgx, (xs_hr, wc), 1)
+            rep(f"C{Cs}/conv_gx", cgx, (xs_hr, wc, dys_lr), 1)
+            rep(f"C{Cs}/conv_gw", cgw, (xs_hr, wc, dys_lr), 1)
             rep(f"C{Cs}/deconv_fwd", native_deconv, (xs_lr, wd), 1)
-            rep(f"C{Cs}/deconv_gx", dgx, (xs_lr, wd), 1)
+            rep(f"C{Cs}/deconv_gx", dgx, (xs_lr, wd, dys_hr), 1)
+            rep(f"C{Cs}/deconv_gw", dgw, (xs_lr, wd, dys_hr), 1)
 
             # matched matmul roof: (B*56^2, 64C) x (64C, C) == same FLOPs
             # as one conv application (2*B*56^2*64C*C = 2*B*224^2*4*C^2)
