@@ -27,7 +27,9 @@ from .resize import resize
 __all__ = [
     "gaussian_kernels",
     "disk_kernels",
+    "disk_kernel_from",
     "motion_kernels",
+    "motion_kernel_from",
     "kernel_compound",
     "make_kernel_sampler",
     "batch_blur",
@@ -81,26 +83,110 @@ def gaussian_kernels(
     return kern / jnp.sum(kern, axis=(1, 2), keepdims=True)
 
 
+def disk_kernel_from(det, size: int = 21) -> jnp.ndarray:
+    """Deterministic disk kernel from integer deterioration values.
+
+    `DiskBlur.make` (blur.py:103-118): radius = det/2 + 0.5, pixel (r,c)
+    included iff (r-cc)^2 + (c-cc)^2 < radius^2 with cc = int(size/2) (the
+    skimage.draw.disk strict-interior rasterisation).  det: (batch,).
+    """
+    det = jnp.maximum(jnp.asarray(det, jnp.float32), 1.0)
+    radius = det / 2.0 + 0.5
+    cc = int(size / 2)
+    r = jnp.arange(size, dtype=jnp.float32)
+    d2 = (r[:, None] - cc) ** 2 + (r[None, :] - cc) ** 2
+    kern = (d2[None] < radius[:, None, None] ** 2).astype(jnp.float32)
+    return kern / jnp.sum(kern, axis=(1, 2), keepdims=True)
+
+
 def disk_kernels(
     key: jax.Array,
     batch: int,
     size: int = 21,
     ratio_range: Tuple[float, float] = (0.1, 1.0),
 ) -> jnp.ndarray:
-    """Filled-circle kernels (`DiskBlur.make`, blur.py:103-118).
-
-    radius = round(size * U[a,b]) / 2 + 0.5 (min deterioration 1), pixel (r,c)
-    included iff (r-cc)^2 + (c-cc)^2 <= radius^2 with cc = size//2 (the
-    skimage.draw.disk rasterisation).
-    """
+    """Filled-circle kernels (`DiskBlur.make`, blur.py:103-118):
+    det = round(size * U[a,b]) (min 1), kernel = disk_kernel_from(det)."""
     a, b = ratio_range
     det = jnp.round(size * (jax.random.uniform(key, (batch,)) * (b - a) + a))
-    det = jnp.maximum(det, 1.0)
-    radius = det / 2.0 + 0.5
-    cc = int(size / 2)
-    r = jnp.arange(size, dtype=jnp.float32)
-    d2 = (r[:, None] - cc) ** 2 + (r[None, :] - cc) ** 2
-    kern = (d2[None] < radius[:, None, None] ** 2).astype(jnp.float32)
+    return disk_kernel_from(det, size)
+
+
+def _motion_bases(size: int) -> jnp.ndarray:
+    """The four quadrant base kernels of `MotionBlur.make` (blur.py:66-75):
+    [0,45): centre row; [45,90): anti-diagonal; [90,135): centre column;
+    [135,180): main diagonal."""
+    import numpy as np
+
+    c = int((size - 1) / 2)
+    b0 = np.zeros((size, size), np.float32)
+    b0[c, :] = 1.0
+    b1 = np.eye(size, dtype=np.float32)[::-1].copy()
+    b2 = np.zeros((size, size), np.float32)
+    b2[:, c] = 1.0
+    b3 = np.eye(size, dtype=np.float32)
+    return jnp.asarray(np.stack([b0, b1, b2, b3]))
+
+
+def motion_kernel_from(deg, length, size: int = 21) -> jnp.ndarray:
+    """Deterministic motion kernel from angle (degrees, [0,180)) and odd
+    line length — the exact `MotionBlur.make` algorithm (blur.py:53-87):
+
+    1. pick the quadrant base kernel, residual angle = deg - 45*quadrant;
+    2. rotate it about the pixel centre ((size-1)/2, (size-1)/2) by the
+       residual angle CCW — cv2.getRotationMatrix2D + warpAffine
+       INTER_LINEAR, reproduced as inverse-map bilinear sampling with
+       zero border (exact float arithmetic; cv2's 1/32-fixed-point
+       coordinate quantisation is not reproduced);
+    3. zero everything outside the central length x length square
+       (margin = (size-length)/2, integral since both are odd);
+    4. normalise to sum 1.
+
+    deg, length: (batch,) arrays.  Returns (batch, size, size) float32.
+    """
+    deg = jnp.asarray(deg, jnp.float32)
+    length = jnp.asarray(length, jnp.float32)
+    batch = deg.shape[0]
+    bases = _motion_bases(size)
+    q = jnp.clip(jnp.floor(deg / 45.0), 0.0, 3.0).astype(jnp.int32)
+    residual = (deg - 45.0 * q) * jnp.pi / 180.0
+    base = jnp.take(bases, q, axis=0)  # (batch, size, size)
+
+    c = (size - 1) / 2.0
+    coord = jnp.arange(size, dtype=jnp.float32)
+    x = jnp.tile(coord[None, :], (size, 1))[None]  # (1, size, size)
+    y = jnp.tile(coord[:, None], (1, size))[None]
+    alpha = jnp.cos(residual)[:, None, None]
+    beta = jnp.sin(residual)[:, None, None]
+    # warpAffine inverse map: src = R(-residual) @ (dst - c) + c in image
+    # coords (y down), matching getRotationMatrix2D's CCW convention
+    sx = alpha * (x - c) - beta * (y - c) + c
+    sy = beta * (x - c) + alpha * (y - c) + c
+    x0, y0 = jnp.floor(sx), jnp.floor(sy)
+    fx, fy = sx - x0, sy - y0
+
+    flat = base.reshape(batch, size * size)
+
+    def gather(yy, xx):
+        inb = (yy >= 0) & (yy < size) & (xx >= 0) & (xx < size)
+        yyc = jnp.clip(yy, 0, size - 1).astype(jnp.int32)
+        xxc = jnp.clip(xx, 0, size - 1).astype(jnp.int32)
+        idx = (yyc * size + xxc).reshape(batch, -1)
+        v = jnp.take_along_axis(flat, idx, axis=1).reshape(batch, size, size)
+        return v * inb.astype(v.dtype)
+
+    rot = (
+        gather(y0, x0) * (1 - fx) * (1 - fy)
+        + gather(y0, x0 + 1) * fx * (1 - fy)
+        + gather(y0 + 1, x0) * (1 - fx) * fy
+        + gather(y0 + 1, x0 + 1) * fx * fy
+    )
+    # central length x length crop (blur.py:81-83)
+    margin = jnp.round((size - length) / 2.0)[:, None]
+    r = coord[None, :]
+    in_span = (r >= margin) & (r < margin + length[:, None])
+    mask = in_span[:, :, None] & in_span[:, None, :]
+    kern = rot * mask.astype(rot.dtype)
     return kern / jnp.sum(kern, axis=(1, 2), keepdims=True)
 
 
@@ -110,17 +196,11 @@ def motion_kernels(
     size: int = 21,
     ratio_range: Tuple[float, float] = (0.1, 1.0),
 ) -> jnp.ndarray:
-    """Rotated-line motion kernels (`MotionBlur.make`, blur.py:53-87).
-
-    TPU-native reformulation: instead of warpAffine of an axis-aligned line,
-    rasterise the rotated line analytically - pixel weight = bilinear hat of
-    its signed distance to the line through the centre at angle theta,
-    restricted to an odd line length, then normalised.  Matches the
-    reference's intent (rotated 1-px line of random odd length).
-    """
+    """Rotated-line motion kernels (`MotionBlur.make`, blur.py:53-96):
+    deg ~ 180*U[0,1), length = even2odd(round(size*U[a,b]), random +-1),
+    kernel = motion_kernel_from(deg, length)."""
     k_deg, k_len, k_parity = jax.random.split(key, 3)
     deg = 180.0 * jax.random.uniform(k_deg, (batch,))
-    theta = deg * jnp.pi / 180.0
     a, b = ratio_range
     det = jnp.round(size * (jax.random.uniform(k_len, (batch,)) * (b - a) + a))
     det = jnp.maximum(det, 1.0)
@@ -129,21 +209,7 @@ def motion_kernels(
     bump = jnp.where(jax.random.bernoulli(k_parity, 0.5, (batch,)), -1.0, 1.0)
     length = jnp.where(is_even, det + bump, det)
     length = jnp.clip(length, 1.0, size if size % 2 == 1 else size - 1)
-
-    h, v = _grid(size)  # x (columns), y (rows)
-    # direction of the line; cv2 rotates CCW for positive angles with image
-    # y-down, which flips the sign of the y component.
-    dx, dy = jnp.cos(theta), -jnp.sin(theta)
-    # distance perpendicular to the line and along the line
-    perp = jnp.abs(h[None] * (-dy[:, None, None]) + v[None] * dx[:, None, None])
-    along = jnp.abs(h[None] * dx[:, None, None] + v[None] * dy[:, None, None])
-    half = (length[:, None, None] - 1.0) / 2.0
-    w = jnp.clip(1.0 - perp, 0.0, 1.0) * (along <= half + 0.5)
-    w = jnp.where(jnp.sum(w, axis=(1, 2), keepdims=True) > 0, w, 0.0)
-    # guarantee the centre pixel so the kernel never degenerates
-    centre = jnp.zeros((size, size)).at[int((size - 1) / 2), int((size - 1) / 2)].set(1.0)
-    w = jnp.maximum(w, centre[None] * 1e-6)
-    return w / jnp.sum(w, axis=(1, 2), keepdims=True)
+    return motion_kernel_from(deg, length, size)
 
 
 def kernel_compound(kernel_a: jnp.ndarray, kernel_b: jnp.ndarray) -> jnp.ndarray:

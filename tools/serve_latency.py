@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Interactive/deployment serving-shape latency probe (VERDICT r3 #5).
+"""Interactive/deployment serving-shape latency probe (VERDICT r3 #5, r4 #1).
 
 Two regimes the throughput bench (bench.py) does not cover:
 
@@ -11,10 +11,17 @@ Two regimes the throughput bench (bench.py) does not cover:
    JointPatch -> (host) numpy outputs, host-inclusive wall time in ms/image.
    Image sizes: 448^2 and 896^2 HR (112^2 / 224^2 LR -> 4 / 16 patches).
 
+Measurement integrity (PERF.md "Measurement integrity"): every call's input
+is perturbed by a carry derived from the previous call's output, so no two
+executions see identical inputs (the axon dedup trap) and the chain is a
+real data dependency; each call is then synced individually
+(block_until_ready on its outputs) because *latency* is per-call wall time,
+not amortized throughput.
+
 Run on the bench chip:  python tools/serve_latency.py [--json out.json]
 
 Prints a small latency table and (optionally) writes machine-readable JSON;
-PERF.md carries the round-4 numbers.
+PERF.md "Round 5" carries the recorded numbers.
 """
 from __future__ import annotations
 
@@ -56,22 +63,29 @@ def main():
     jax.block_until_ready(variables)
 
     @jax.jit
-    def infer(variables, p):
-        out = model.apply(variables, p, None, False, train=False, clip_sr=True)
-        return out["sr"], out["seg"]
+    def infer(variables, p, carry):
+        # carry-perturbed input: each call executes on distinct data with a
+        # chained dependency on the previous call (dedup-proof), at the cost
+        # of one elementwise add
+        out = model.apply(
+            variables, p + carry * jnp.float32(1e-12), None, False,
+            train=False, clip_sr=True,
+        )
+        return out["sr"], out["seg"], carry + jnp.sum(out["sr"].astype(jnp.float32))
 
     results = {}
 
     # ---- regime 1: small-batch latency ------------------------------------
     for b in (1, 4, 8):
         patches = jnp.asarray(rng.rand(b, ph, ph, 3).astype(np.float32))
-        sr, seg = infer(variables, patches)  # compile + warm
-        jax.block_until_ready((sr, seg))
+        carry = jnp.float32(0.0)
+        sr, seg, carry = infer(variables, patches, carry)  # compile + warm
+        jax.block_until_ready((sr, seg, carry))
         times = []
         for _ in range(args.iters):
             t0 = time.perf_counter()
-            sr, seg = infer(variables, patches)
-            jax.block_until_ready((sr, seg))
+            sr, seg, carry = infer(variables, patches, carry)
+            jax.block_until_ready((sr, seg, carry))  # per-call sync: latency
             times.append(time.perf_counter() - t0)
         # median: single-call latency through a shared tunnel is spiky
         ms = float(np.median(times) * 1e3)
@@ -83,8 +97,10 @@ def main():
     def full_image(hr_size: int):
         lr_size = hr_size // sf
         img = rng.rand(lr_size, lr_size, 3).astype(np.float32)
+        carry = jnp.float32(0.0)
 
         def run():
+            nonlocal carry
             t0 = time.perf_counter()
             patches, ushape = split_patch(jnp.asarray(img), ph, ph)
             n = patches.shape[0]
@@ -93,16 +109,23 @@ def main():
                 patches = jnp.concatenate(
                     [patches, jnp.zeros((bucket - n, ph, ph, 3), patches.dtype)]
                 )
-            sr_p, seg_p = infer(variables, patches)
+            sr_p, seg_p, carry = infer(variables, patches, carry)
             sr_p, seg_p = sr_p[:n], seg_p[:n]
-            out_ushape = list(ushape)
-            out_ushape[5] *= sf
-            out_ushape[6] *= sf
-            sr = np.asarray(joint_patch(sr_p.astype(jnp.float32), out_ushape))
-            seg = np.asarray(joint_patch(seg_p.astype(jnp.float32), out_ushape))
+            # SR reassembly: LR unfold shape with patch H/W scaled by SF
+            # (mirrors `inference.py:89`); seg is single-channel, so its
+            # unfold shape carries c = seg channels, not the image's 3
+            # (mirrors the dataset-supplied seg_unfold_shape,
+            # `/root/reference/model/data/crack_dataset.py:110-117`)
+            sr_ushape = list(ushape)
+            sr_ushape[5] *= sf
+            sr_ushape[6] *= sf
+            seg_ushape = list(sr_ushape)
+            seg_ushape[4] = seg_p.shape[-1]
+            sr = np.asarray(joint_patch(sr_p.astype(jnp.float32), sr_ushape))
+            seg = np.asarray(joint_patch(seg_p.astype(jnp.float32), seg_ushape))
             dt = time.perf_counter() - t0
             assert sr.shape == (1, hr_size, hr_size, 3), sr.shape
-            assert seg.shape[:3] == (1, hr_size, hr_size), seg.shape
+            assert seg.shape == (1, hr_size, hr_size, 1), seg.shape
             return dt
 
         run()  # compile + warm (shared 224-out graph at the right bucket)
