@@ -235,9 +235,17 @@ def pac_gauss_kernel(guide, ks: int, stride: int = 1, padding: int = 0,
     cols = _unfold_nhwc(guide, ks, stride, padding, dilation)
     center = (ks // 2) * ks + ks // 2
     diff = cols - cols[:, :, :, center : center + 1]
-    kern = jnp.exp(-0.5 * jnp.sum(diff.astype(jnp.float32) ** 2, axis=-1))
+    # accumulate in at least f32 (keep f64 under x64 for the oracle runs)
+    diff = diff.astype(jnp.promote_types(diff.dtype, jnp.float32))
+    kern = jnp.exp(-0.5 * jnp.sum(diff**2, axis=-1))
     if normalize:
-        kern = kern / jnp.sum(kern, axis=3, keepdims=True)
+        # packernel2d (pac.py:381-386,446-449): taps that fall in the zero
+        # padding are masked out (unfolded ones-pattern) BEFORE normalising
+        ones = jnp.ones((1,) + guide.shape[1:3] + (1,), kern.dtype)
+        mask = _unfold_nhwc(ones, ks, stride, padding, dilation)[..., 0]
+        kern = kern * mask
+        norm = jnp.sum(kern, axis=3, keepdims=True)
+        kern = kern / (norm + (norm == 0))
     return kern.astype(guide.dtype)
 
 
@@ -483,8 +491,15 @@ class PacCRFLoose(nn.Module):
 
 
 class SwitchNorm2d(nn.Module):
-    """Switchable Norm (extensions/switchablenorms): softmax-weighted blend
-    of instance/layer/batch statistics, affine params."""
+    """Switchable Norm (extensions/switchablenorms/switchable_norm.py:60-140):
+    softmax-weighted blend of instance/layer/batch statistics, affine params.
+
+    The reference arithmetic is reproduced exactly: var_in is torch's
+    UNBIASED `.var(-1)` over H*W, and var_ln / var_bn come from the moment
+    decomposition E[var_in + mean_in^2] - E[mean_in]^2 over C / N (NOT plain
+    biased variances over (C,H,W) / (N,H,W)).  Always uses batch statistics
+    (the reference's training-mode forward); the running-stat eval branch is
+    not carried since 'sn' is a dormant bn_type in CSBSR."""
 
     epsilon: float = 1e-5
     dtype: Any = jnp.float32
@@ -497,12 +512,14 @@ class SwitchNorm2d(nn.Module):
         mw = self.param("mean_weight", nn.initializers.ones, (3,))
         vw = self.param("var_weight", nn.initializers.ones, (3,))
 
-        mean_in = jnp.mean(x, axis=(1, 2), keepdims=True)
-        var_in = jnp.var(x, axis=(1, 2), keepdims=True)
-        mean_ln = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
-        var_ln = jnp.var(x, axis=(1, 2, 3), keepdims=True)
-        mean_bn = jnp.mean(x, axis=(0, 1, 2), keepdims=True)
-        var_bn = jnp.var(x, axis=(0, 1, 2), keepdims=True)
+        n_hw = x.shape[1] * x.shape[2]
+        mean_in = jnp.mean(x, axis=(1, 2), keepdims=True)  # (N,1,1,C)
+        var_in = jnp.sum((x - mean_in) ** 2, axis=(1, 2), keepdims=True) / max(n_hw - 1, 1)
+        temp = var_in + mean_in**2
+        mean_ln = jnp.mean(mean_in, axis=3, keepdims=True)
+        var_ln = jnp.mean(temp, axis=3, keepdims=True) - mean_ln**2
+        mean_bn = jnp.mean(mean_in, axis=0, keepdims=True)
+        var_bn = jnp.mean(temp, axis=0, keepdims=True) - mean_bn**2
 
         mws = jax.nn.softmax(mw)
         vws = jax.nn.softmax(vw)

@@ -249,6 +249,54 @@ def _fake_skimage():
     sys.modules.setdefault("skimage.draw", draw)
 
 
+def _fake_torch_thnn():
+    """`extensions/pacnet/pac.py:23` imports the torch-0.4-era
+    `torch._thnn.type2backend` and stashes `type2backend[input.type()]` on
+    the autograd ctx in every Function FORWARD (pac.py:109,158,237,324); the
+    backend is only *used* in the legacy backward paths, so a permissive
+    lookup stub keeps the forward oracle honest on modern torch."""
+    import torch
+
+    if hasattr(torch, "_thnn") and "torch._thnn" in sys.modules:
+        return
+
+    class _Type2Backend:
+        def __getitem__(self, _type_str):
+            return None
+
+    thnn = types.ModuleType("torch._thnn")
+    thnn.type2backend = _Type2Backend()
+    sys.modules["torch._thnn"] = thnn
+
+
+def _fake_openseg_lib():
+    """The openseg-vendored nets import their own modules by the upstream
+    absolute package name `lib.models.*` (`nets/hrnet.py:66,123`,
+    `nets/ocrnet.py:15-16,41,89`, `nets/fcnet.py:17-18`), which does not
+    exist in the reference tree — alias those names to the identical
+    vendored modules under `model.modeling.hrnet_ocr.*`."""
+    import importlib
+
+    if "lib.models.modules.spatial_ocr_block" in sys.modules:
+        return
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+
+    pairs = {
+        "lib.models.modules.spatial_ocr_block":
+            "model.modeling.hrnet_ocr.modules.spatial_ocr_block",
+        "lib.models.backbones.backbone_selector":
+            "model.modeling.hrnet_ocr.backbones.backbone_selector",
+        "lib.models.tools.module_helper":
+            "model.modeling.hrnet_ocr.tools.module_helper",
+    }
+    for alias in ("lib", "lib.models", "lib.models.modules",
+                  "lib.models.backbones", "lib.models.tools"):
+        sys.modules.setdefault(alias, types.ModuleType(alias))
+    for alias, real in pairs.items():
+        sys.modules[alias] = importlib.import_module(real)
+
+
 def _patch_cuda_to_cpu():
     import torch
     import torch.nn as nn
@@ -309,6 +357,7 @@ def install():
     _fake_timm()
     _fake_skimage()
     _fake_wandb()
+    _fake_torch_thnn()
     _patch_cuda_to_cpu()
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
