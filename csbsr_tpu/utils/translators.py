@@ -328,15 +328,53 @@ def translate_hrnet_ocr(path: Tuple, kind: str) -> Optional[str]:
         if sub == "bn":
             return f"ocr_distri_head.conv_bn_dropout.1.0.{sfx}"
         if sub == "oab":
-            m = re.match(r"(f_pixel|f_object|f_down|f_up)_(conv|bn)(\d)", p[2])
-            if m:
-                fname, kindc, idx = m.groups()
-                # Sequential(Conv, BNReLU, [Conv, BNReLU]): conv i -> 2i,
-                # bn i -> 2i+1 then .0 inside BNReLU
-                slot = 2 * int(idx) + (0 if kindc == "conv" else 1)
-                tail = f"{slot}.{sfx}" if kindc == "conv" else f"{slot}.0.{sfx}"
-                return f"ocr_distri_head.object_context_block.{fname}.{tail}"
+            t = _oab_leaf(p[2], sfx)
+            if t:
+                return f"ocr_distri_head.object_context_block.{t}"
+
+    # sibling heads (`nets/hrnet.py:22-99`): HRNet_W48's plain FCN cls_head
+    # Sequential(Conv, BNReLU, Dropout, Conv) and HRNet_W48_ASPOCR's
+    # SpatialOCR_ASP_Module (spatial_ocr_block.py:325-383); HRNet_W48_OCR_B
+    # reuses the names above with its own widths.
+    if head == "cls_conv0":
+        return f"cls_head.0.{sfx}"
+    if head == "cls_bn":
+        return f"cls_head.1.0.{sfx}"
+    if head == "cls_conv1":
+        return f"cls_head.3.{sfx}"
+    if head == "asp_ocr_head":
+        sub = p[1]
+        if sub == "context_pre_conv":
+            return f"asp_ocr_head.context.0.{sfx}"
+        if sub == "context_pre_bn":
+            return f"asp_ocr_head.context.1.0.{sfx}"
+        if sub == "context_oab":
+            t = _oab_leaf(p[2], sfx)
+            if t:
+                return f"asp_ocr_head.context.2.object_context_block.{t}"
+        m = re.match(r"conv(\d)_(conv|bn)", sub)
+        if m:
+            i, kindc = m.groups()
+            slot = "0" if kindc == "conv" else "1.0"
+            return f"asp_ocr_head.conv{i}.{slot}.{sfx}"
+        if sub == "project_conv":
+            return f"asp_ocr_head.conv_bn_dropout.0.{sfx}"
+        if sub == "project_bn":
+            return f"asp_ocr_head.conv_bn_dropout.1.0.{sfx}"
     return None
+
+
+def _oab_leaf(seg: str, sfx: str) -> Optional[str]:
+    """ObjectAttentionBlock2D leaf (`spatial_ocr_block.py:145-170`): each
+    f_{pixel,object,down,up} is a Sequential interleaving Conv2d and
+    BNReLU=Sequential(BN, ReLU): conv i -> slot 2i, bn i -> slot 2i+1 + .0."""
+    m = re.match(r"(f_pixel|f_object|f_down|f_up)_(conv|bn)(\d)", seg)
+    if not m:
+        return None
+    fname, kindc, idx = m.groups()
+    slot = 2 * int(idx) + (0 if kindc == "conv" else 1)
+    tail = f"{slot}.{sfx}" if kindc == "conv" else f"{slot}.0.{sfx}"
+    return f"{fname}.{tail}"
 
 
 def translate_crackformer(path: Tuple, kind: str) -> Optional[str]:
