@@ -377,6 +377,83 @@ def _oab_leaf(seg: str, sfx: str) -> Optional[str]:
     return f"{fname}.{tail}"
 
 
+def translate_openseg_resnet(path: Tuple, kind: str) -> Optional[str]:
+    """Dormant openseg nets over the ResNet backbone zoo.
+
+    Backbone: `backbones/resnet/resnet_models.py:107-163` (resinit
+    Sequential with OrderedDict names conv1/bn1[/conv2/bn2/conv3/bn3],
+    layerL.B.{conv1..3,bn1..3,downsample.0/1}) wrapped by Normal/Dilated
+    ResnetBackbone (`resnet_backbone.py:21-117` — pure renaming, no params).
+    Heads: SpatialOCRNet (`nets/ocrnet.py:19-67`: conv_3x3 / dsn_head /
+    spatial_ocr_head / head) and FcnNet (`nets/fcnet.py:21-71`: cls_head /
+    dsn_head Sequentials).
+    """
+    p = [str(x) for x in path[:-1]]
+    if not p:
+        return None
+    sfx = _BN_SUFFIX[kind]
+    head = p[0]
+
+    if head == "backbone":
+        sub = p[1]
+        m = re.match(r"stem(\d)_(conv|bn)", sub)
+        if m:  # deep-base 3-conv stem
+            i, kindc = m.groups()
+            return f"backbone.resinit.{kindc}{i}.{sfx}"
+        if sub == "stem_conv":
+            return f"backbone.resinit.conv1.{sfx}"
+        if sub == "stem_bn":
+            return f"backbone.resinit.bn1.{sfx}"
+        m = re.match(r"layer(\d)_(\d+)", sub)
+        if m:
+            l, b = m.groups()
+            inner = p[2]
+            if inner == "ds_conv":
+                return f"backbone.layer{l}.{b}.downsample.0.{sfx}"
+            if inner == "ds_bn":
+                return f"backbone.layer{l}.{b}.downsample.1.{sfx}"
+            return f"backbone.layer{l}.{b}.{inner}.{sfx}"
+        return None
+
+    # SpatialOCRNet (ocrnet.py:36-56)
+    if head == "conv_3x3_conv":
+        return f"conv_3x3.0.{sfx}"
+    if head == "conv_3x3_bn":
+        return f"conv_3x3.1.0.{sfx}"
+    if head == "head":
+        return f"head.{sfx}"
+    if head == "spatial_ocr_head":
+        sub = p[1]
+        if sub == "conv":
+            return f"spatial_ocr_head.conv_bn_dropout.0.{sfx}"
+        if sub == "bn":
+            return f"spatial_ocr_head.conv_bn_dropout.1.0.{sfx}"
+        if sub == "oab":
+            t = _oab_leaf(p[2], sfx)
+            if t:
+                return f"spatial_ocr_head.object_context_block.{t}"
+        return None
+    # dsn head (_ResNetNet.dsn): Sequential(Conv, BNReLU, Dropout, Conv)
+    if head == "dsn_conv":
+        return f"dsn_head.0.{sfx}"
+    if head == "dsn_bn":
+        return f"dsn_head.1.0.{sfx}"
+    if head == "dsn_cls":
+        return f"dsn_head.3.{sfx}"
+    # FcnNet heads
+    if head == "cls_head_conv":
+        return f"cls_head.0.{sfx}"
+    if head == "cls_head_bn":
+        return f"cls_head.1.0.{sfx}"
+    if head == "cls":
+        return f"cls_head.3.{sfx}"
+    if head == "dsn_head_conv":
+        return f"dsn_head.0.{sfx}"
+    if head == "dsn_head_bn":
+        return f"dsn_head.1.0.{sfx}"
+    return None
+
+
 def translate_crackformer(path: Tuple, kind: str) -> Optional[str]:
     """CrackFormer torch names (`crackformer.py:421-488,155-260`).
 
