@@ -257,6 +257,73 @@ def main():
         finally:
             blocks_mod.INT8_SERVE = False
 
+    def measure_latency():
+        """Deployment-shape latency (VERDICT r4 #1): B=1 per-call latency and
+        the reference's full-image path (SplitPatch -> model -> JointPatch,
+        `/root/reference/model/engine/inference.py:80-90`) at 896^2 HR,
+        host-inclusive. Same carry-perturbed chained inputs as
+        tools/serve_latency.py (identical inputs can be deduped on axon);
+        each call synced individually because latency is per-call wall time."""
+        from csbsr_tpu.ops.patch import split_patch, joint_patch
+
+        variables = jax.jit(
+            lambda r, p: model.init({"params": r}, p, None, False, train=False)
+        )(jax.random.PRNGKey(0), jnp.zeros((1, 56, 56, 3), jnp.float32))
+        jax.block_until_ready(variables)
+
+        @jax.jit
+        def infer(variables, p, carry):
+            out = model.apply(
+                variables, p + carry * jnp.float32(1e-12), None, False,
+                train=False, clip_sr=True,
+            )
+            return out["sr"], out["seg"], carry + jnp.sum(out["sr"].astype(jnp.float32))
+
+        patches = jnp.asarray(rng.rand(1, 56, 56, 3).astype(np.float32))
+        carry = jnp.float32(0.0)
+        sr, seg, carry = infer(variables, patches, carry)
+        float(carry)
+        times = []
+        for _ in range(30):
+            t0 = time.perf_counter()
+            sr, seg, carry = infer(variables, patches, carry)
+            # HOST READ per call: axon's block_until_ready returns before
+            # the remote execution completes (tools/serve_latency.py first
+            # read an impossible 0.57 ms at B=1 without this)
+            float(carry)
+            times.append(time.perf_counter() - t0)
+        b1_ms = float(np.median(times) * 1e3)
+
+        img = rng.rand(224, 224, 3).astype(np.float32)  # 896^2 HR / x4
+        fcarry = jnp.float32(0.0)
+
+        def full():
+            nonlocal fcarry
+            t0 = time.perf_counter()
+            p, ushape = split_patch(jnp.asarray(img), 56, 56)
+            sr_p, seg_p, fcarry = infer(variables, p, fcarry)
+            sr_ushape = list(ushape)
+            sr_ushape[5] *= 4
+            sr_ushape[6] *= 4
+            seg_ushape = list(sr_ushape)
+            seg_ushape[4] = seg_p.shape[-1]
+            sr = np.asarray(joint_patch(sr_p.astype(jnp.float32), sr_ushape))
+            seg = np.asarray(joint_patch(seg_p.astype(jnp.float32), seg_ushape))
+            dt = time.perf_counter() - t0
+            assert sr.shape == (1, 896, 896, 3) and seg.shape == (1, 896, 896, 1)
+            return dt
+
+        full()  # compile+warm (16-patch batch)
+        full_ms = float(np.median([full() for _ in range(10)]) * 1e3)
+        return b1_ms, full_ms
+
+    try:
+        latency_b1_ms, full_image_896_ms = measure_latency()
+    except Exception as e:
+        print(f"latency measurement FAILED: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        latency_b1_ms = full_image_896_ms = None
+
     int8_rate, int8_agreement = measure_int8(results[128][3])
 
     # train-side timing must not kill the inference line: a tunnel hiccup /
@@ -283,6 +350,9 @@ def main():
         out["train_images_per_sec_b64"] = round(train_img_s_b64, 3)
     if mfu is not None:
         out["mfu"] = round(mfu, 4)
+    if latency_b1_ms is not None:
+        out["latency_b1_ms"] = round(latency_b1_ms, 3)
+        out["full_image_896_ms"] = round(full_image_896_ms, 3)
     if int8_rate is not None:
         # calibrated int8 serving mode (opt-in; see PERF.md round 3 and
         # tools/int8_accuracy.py for the accuracy methodology)

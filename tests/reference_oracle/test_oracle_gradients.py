@@ -36,6 +36,11 @@ _SHARED = [
     "SOLVER.SR_LOSS_FUNC", "KBPN", "SOLVER.SEG_LOSS_FUNC", "BoundaryCombo",
     "SOLVER.TASK_LOSS_WEIGHT", 0.6, "SOLVER.BATCH_SIZE", 2,
     "SOLVER.SR_PRETRAIN_ITER", (1, 50), "SOLVER.SEG_PRETRAIN_ITER", (50, 80),
+    # the KBPN-INTERNAL windows default to [1,50001]/[50001,100000]
+    # (`defaults.py:40-41`) — pin them below _IT so iteration 100 is the
+    # true joint phase (predictor path, everything trainable) on BOTH sides
+    "SOLVER.SR_SR_MODULE_PRETRAIN_ITER", (1, 50),
+    "SOLVER.SR_KERNEL_MODULE_PRETRAIN_ITER", (50, 80),
 ]
 _B, _K, _SF, _HLR = 2, 7, 4, 16
 _IT = 100  # joint phase: every group trainable, predicted-kernel path
@@ -82,10 +87,12 @@ def test_composite_gradients_match_torch_autograd():
         batch = {"lr": lr, "hr": hr, "seg": jnp.asarray(seg_np),
                  "kernel": jnp.asarray(k_np)}
 
+        assert not bool(phase["use_gt_kernel"]), "iteration must be joint-phase"
+
         def _loss(params):
             outputs = model.apply(
                 {"params": params, "batch_stats": bstats},
-                lr, kvec, False, sr_targets=hr, train=False)
+                lr, kvec, phase["use_gt_kernel"], sr_targets=hr, train=False)
             return loss_fn(outputs, batch, phase)["total"]
 
         total_ours, grads = jax.value_and_grad(_loss)(variables["params"])

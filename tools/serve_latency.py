@@ -80,12 +80,17 @@ def main():
         patches = jnp.asarray(rng.rand(b, ph, ph, 3).astype(np.float32))
         carry = jnp.float32(0.0)
         sr, seg, carry = infer(variables, patches, carry)  # compile + warm
-        jax.block_until_ready((sr, seg, carry))
+        float(carry)
         times = []
         for _ in range(args.iters):
             t0 = time.perf_counter()
             sr, seg, carry = infer(variables, patches, carry)
-            jax.block_until_ready((sr, seg, carry))  # per-call sync: latency
+            # per-call HOST READ of the carry: on axon, block_until_ready
+            # returns before the remote execution completes (first run of
+            # this tool read a physically impossible 0.57 ms at B=1 with
+            # block_until_ready alone); only a value read is a true sync,
+            # and a result read-back is part of real serving latency anyway
+            float(carry)
             times.append(time.perf_counter() - t0)
         # median: single-call latency through a shared tunnel is spiky
         ms = float(np.median(times) * 1e3)
