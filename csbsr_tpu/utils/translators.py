@@ -415,6 +415,14 @@ def translate_openseg_resnet(path: Tuple, kind: str) -> Optional[str]:
             return f"backbone.layer{l}.{b}.{inner}.{sfx}"
         return None
 
+    # ASPOCRNet (ocrnet.py:70-111): same SpatialOCR_ASP_Module subtree as
+    # HRNet_W48_ASPOCR, rooted at asp_ocr_head
+    if head == "asp_ocr_head":
+        t = translate_hrnet_ocr(path, kind)
+        if t:
+            return t
+        return None
+
     # SpatialOCRNet (ocrnet.py:36-56)
     if head == "conv_3x3_conv":
         return f"conv_3x3.0.{sfx}"

@@ -105,6 +105,36 @@ def test_pac_pool2d_matches_reference(normalize):
     assert diff < 1e-12, f"PacPool2d (normalize={normalize}) mismatch: {diff}"
 
 
+def test_frn_matches_reference():
+    from model.modeling.hrnet_ocr.extensions.frn.frn import (
+        FilterResponseNormalization as RefFRN,
+    )
+    from csbsr_tpu.models.extensions import FilterResponseNorm
+
+    c = 5
+    rng = np.random.RandomState(35)
+    x = (rng.rand(2, 6, 6, c) * 2 - 0.5).astype(np.float64)
+
+    with util.x64():
+        model = FilterResponseNorm(dtype=jnp.float64)
+        v = model.init(jax.random.PRNGKey(8), jnp.asarray(x))
+        p = {k: np.asarray(a, np.float64) for k, a in v["params"].items()}
+        p["gamma"] = p["gamma"] + rng.rand(c)
+        p["beta"] = p["beta"] + rng.rand(c) - 0.5
+        p["tau"] = p["tau"] + rng.rand(c) * 0.2
+        v = {"params": jax.tree_util.tree_map(jnp.asarray, p)}
+        ours = model.apply(v, jnp.asarray(x))
+
+        ref = RefFRN(_f64(p["beta"].reshape(1, c, 1, 1)),
+                     _f64(p["gamma"].reshape(1, c, 1, 1)),
+                     _f64(p["tau"].reshape(1, c, 1, 1)))
+        ref.eps = ref.eps.double()
+        with torch.no_grad():
+            ref_out = ref(_f64(x.transpose(0, 3, 1, 2)))
+        diff = util.max_abs_diff(ref_out, ours)
+    assert diff < 1e-12, f"FRN mismatch: {diff}"
+
+
 def test_switch_norm2d_matches_reference():
     from model.modeling.hrnet_ocr.extensions.switchablenorms.switchable_norm import (
         SwitchNorm2d as RefSN,

@@ -90,6 +90,17 @@ def test_spatial_ocrnet_matches_reference(tmp_path):
 
 
 @pytest.mark.slow
+def test_asp_ocrnet_matches_reference(tmp_path):
+    from model.modeling.hrnet_ocr.nets.ocrnet import ASPOCRNet as Ref
+    from csbsr_tpu.models.openseg import ASPOCRNet
+
+    diffs = _run_pair(tmp_path, Ref,
+                      ASPOCRNet(backbone="resnet50_dilated8", dtype=jnp.float64),
+                      "resnet50_dilated8", 43)
+    assert max(diffs) < 1e-8, f"ASPOCRNet mismatch: {diffs}"
+
+
+@pytest.mark.slow
 def test_fcnnet_matches_reference(tmp_path):
     from model.modeling.hrnet_ocr.nets.fcnet import FcnNet as Ref
     from csbsr_tpu.models.openseg import FcnNet

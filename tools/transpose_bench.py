@@ -61,6 +61,13 @@ def main():
     ap.add_argument("--json", default=None)
     ap.add_argument("--sweep", action="store_true",
                     help="channel-width sweep + matched matmul roofs")
+    ap.add_argument("--widths", type=int, nargs="+", default=[64, 128, 256],
+                    help="channel widths for --sweep")
+    ap.add_argument("--s2d", action="store_true",
+                    help="also bench the deprecated ops/s2d lowering rows "
+                         "(each row is a fresh multi-minute remote compile; "
+                         "the native-vs-matmul-roof question needs none of "
+                         "them)")
     args = ap.parse_args()
 
     import jax
@@ -120,14 +127,24 @@ def main():
 
     def timed(fn, *inputs, n=args.iters):
         """Chained-carry timing: scan n iterations, each feeding a scalar
-        derived from the previous output back into the input."""
+        derived from the previous output back into the input.
+
+        The perturbation multiplier must be a GENUINE function of the carry:
+        an earlier version used `1.0 + 0.0 * carry`, which the algebraic
+        simplifier folds to 1.0, making the body loop-invariant — XLA then
+        hoists the whole op out of the scan and the row times an empty loop
+        (observed: s2d grad rows at 0.00 ms / 10000+ "TF/s").  `carry *
+        1e-38` is runtime-zero in f32 (carry ~ 1e-30-scaled sums, so the
+        product underflows and 1.0 + 0 == 1.0 exactly — the measured math is
+        unperturbed) but compile-time opaque."""
         fn_j = jax.jit(fn)
         out0 = fn_j(*inputs)
         jax.block_until_ready(out0)
 
         def body(carry, _):
+            scale = (1.0 + carry * jnp.float32(1e-38))
             outs = fn_j(*jax.tree_util.tree_map(
-                lambda a: a * (1.0 + 0.0 * carry).astype(a.dtype), inputs))
+                lambda a: a * scale.astype(a.dtype), inputs))
             # consume EVERY output leaf: chaining through only one lets XLA
             # dead-code-eliminate the others inside the scan (the same DCE
             # trap bench.py's seg head hit, PERF.md round 3) - fused vjp
@@ -141,12 +158,11 @@ def main():
             c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
             return c
 
-        r = loop()
-        jax.block_until_ready(r)  # compile+warm
-        best = np.inf
+        float(loop())  # compile+warm (host READ: axon's block_until_ready
+        best = np.inf  # returns before remote execution completes)
         for _ in range(2):
             t0 = time.perf_counter()
-            jax.block_until_ready(loop())
+            float(loop())
             best = min(best, (time.perf_counter() - t0) / n)
         return best
 
@@ -158,10 +174,17 @@ def main():
         results[name] = {"ms": round(dt * 1e3, 3), "tf_s": round(tfs, 1)}
         print(f"{name:<28s} {dt*1e3:9.2f} ms   {tfs:7.1f} TF/s")
 
-    for tag, conv, deconv, wc, wd in (
-        ("native", native_conv, native_deconv, w_conv, w_deconv),
-        ("s2d", s2d_conv_fn, s2d_deconv_fn, w_conv, w_deconv),
-    ):
+    # calibration: the per-iteration cost of the harness itself (input
+    # perturbation multiply + output sum on the HR-sized tensor, ~0 FLOPs of
+    # useful work) - subtract mentally from every row at the same shapes
+    dt0 = timed(lambda a: a, x_hr)
+    results["harness_overhead_hr"] = {"ms": round(dt0 * 1e3, 3)}
+    print(f"{'harness_overhead (HR tensor)':<28s} {dt0*1e3:9.2f} ms")
+
+    variants = [("native", native_conv, native_deconv, w_conv, w_deconv)]
+    if args.s2d:
+        variants.append(("s2d", s2d_conv_fn, s2d_deconv_fn, w_conv, w_deconv))
+    for tag, conv, deconv, wc, wd in variants:
         # parity guard: both lowerings must agree before their numbers mean
         # anything (f32 reference on first run only)
         report(f"{tag}/conv_fwd", conv, (x_hr, wc), 1)
@@ -202,7 +225,7 @@ def main():
         # pure-matmul roof. flops scale as C^2; the matmul has the exact
         # contraction the s2d regrouping produces (K=64C, N=C).
         print("\n--- width sweep (native) + matmul roof ---")
-        for Cs in (64, 128, 256):
+        for Cs in args.widths:
             xs_hr = jnp.asarray(
                 rng.rand(B, HR, HR, Cs).astype(np.float32)).astype(jnp.bfloat16)
             xs_lr = jnp.asarray(
@@ -262,13 +285,14 @@ def main():
             ).astype(jnp.bfloat16)
             rep(f"C{Cs}/matmul_2xlanes", lambda a, b: a @ b, (m2, mw2), 1)
 
-    # cross-lowering parity (bf16 tolerance)
-    a = np.asarray(native_conv(x_hr, w_conv), np.float32)
-    b = np.asarray(s2d_conv_fn(x_hr, w_conv), np.float32)
-    print("conv parity maxdiff:", np.abs(a - b).max())
-    a = np.asarray(native_deconv(x_lr, w_deconv), np.float32)
-    b = np.asarray(s2d_deconv_fn(x_lr, w_deconv), np.float32)
-    print("deconv parity maxdiff:", np.abs(a - b).max())
+    if args.s2d:
+        # cross-lowering parity (bf16 tolerance)
+        a = np.asarray(native_conv(x_hr, w_conv), np.float32)
+        b = np.asarray(s2d_conv_fn(x_hr, w_conv), np.float32)
+        print("conv parity maxdiff:", np.abs(a - b).max())
+        a = np.asarray(native_deconv(x_lr, w_deconv), np.float32)
+        b = np.asarray(s2d_deconv_fn(x_lr, w_deconv), np.float32)
+        print("deconv parity maxdiff:", np.abs(a - b).max())
 
     if args.json:
         with open(args.json, "w") as f:
