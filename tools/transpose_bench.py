@@ -68,6 +68,19 @@ def main():
                          "(each row is a fresh multi-minute remote compile; "
                          "the native-vs-matmul-roof question needs none of "
                          "them)")
+    ap.add_argument("--skip-base", action="store_true",
+                    help="skip the per-kernel base rows (each is a fresh "
+                         "remote compile; --chain answers the close-out "
+                         "question without them)")
+    ap.add_argument("--chain", type=int, default=0, metavar="K",
+                    help="overhead-free chained-pair rows: conv and deconv "
+                         "compose shape-wise (HR->LR->HR), so K chained "
+                         "pairs amortize the harness cost (perturb multiply "
+                         "+ output sum, ~2.7 ms at B=32 - LARGER than the "
+                         "kernels themselves, which is why the base rows "
+                         "under-read) to zero. Reports per-kernel-pair "
+                         "TF/s for fwd (deconv;conv), gx (deconv_gx;conv_gx) "
+                         "and a chained square-matmul MXU roof.")
     args = ap.parse_args()
 
     import jax
@@ -141,28 +154,32 @@ def main():
         out0 = fn_j(*inputs)
         jax.block_until_ready(out0)
 
-        def body(carry, _):
-            scale = (1.0 + carry * jnp.float32(1e-38))
-            outs = fn_j(*jax.tree_util.tree_map(
-                lambda a: a * scale.astype(a.dtype), inputs))
-            # consume EVERY output leaf: chaining through only one lets XLA
-            # dead-code-eliminate the others inside the scan (the same DCE
-            # trap bench.py's seg head hit, PERF.md round 3) - fused vjp
-            # rows would silently time fwd-only
-            tot = sum(jnp.sum(l.astype(jnp.float32))
-                      for l in jax.tree_util.tree_leaves(outs))
-            return tot * 1e-30, None
-
+        # inputs are jit ARGUMENTS, not closure captures: captures bake
+        # into the serialized HLO as constants, and a large input (the
+        # matmul-roof operand) then blows the remote compiler's request
+        # limit (HTTP 413 - the same trap PERF.md records for weights)
         @jax.jit
-        def loop():
+        def loop(*ins):
+            def body(carry, _):
+                scale = (1.0 + carry * jnp.float32(1e-38))
+                outs = fn_j(*jax.tree_util.tree_map(
+                    lambda a: a * scale.astype(a.dtype), ins))
+                # consume EVERY output leaf: chaining through only one lets
+                # XLA dead-code-eliminate the others inside the scan (the
+                # same DCE trap bench.py's seg head hit, PERF.md round 3) -
+                # fused vjp rows would silently time fwd-only
+                tot = sum(jnp.sum(l.astype(jnp.float32))
+                          for l in jax.tree_util.tree_leaves(outs))
+                return tot * 1e-30, None
+
             c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
             return c
 
-        float(loop())  # compile+warm (host READ: axon's block_until_ready
-        best = np.inf  # returns before remote execution completes)
+        float(loop(*inputs))  # compile+warm (host READ: axon's
+        best = np.inf  # block_until_ready returns before remote completion)
         for _ in range(2):
             t0 = time.perf_counter()
-            float(loop())
+            float(loop(*inputs))
             best = min(best, (time.perf_counter() - t0) / n)
         return best
 
@@ -181,7 +198,8 @@ def main():
     results["harness_overhead_hr"] = {"ms": round(dt0 * 1e3, 3)}
     print(f"{'harness_overhead (HR tensor)':<28s} {dt0*1e3:9.2f} ms")
 
-    variants = [("native", native_conv, native_deconv, w_conv, w_deconv)]
+    variants = [] if args.skip_base else [
+        ("native", native_conv, native_deconv, w_conv, w_deconv)]
     if args.s2d:
         variants.append(("s2d", s2d_conv_fn, s2d_deconv_fn, w_conv, w_deconv))
     for tag, conv, deconv, wc, wd in variants:
@@ -219,6 +237,97 @@ def main():
 
         report(f"{tag}/conv_fwd+bwd", conv_vjp, (x_hr, wc, dy_lr), 3)
         report(f"{tag}/deconv_fwd+bwd", deconv_vjp, (x_lr, wd, dy_hr), 3)
+
+    if args.chain:
+        # Overhead-free per-kernel rates. The base rows above time
+        # (perturb-multiply + kernel + output-sum) per iteration; at C=64
+        # the harness part (~2.7 ms at B=32) EXCEEDS the kernel (~0.3-1 ms),
+        # so their TF/s under-read by 3-8x and subtraction is too noisy.
+        # Fix: conv maps HR->LR and deconv LR->HR, so the PAIR composes to
+        # a shape-preserving map that chains K times data-dependently inside
+        # one scan body (no CSE - each stage's input differs; no DCE - the
+        # final output is consumed; no per-stage perturbation needed), and
+        # the single perturb+sum amortizes over 2K kernels. Same trick for
+        # the transpose pass via jax.linear_transpose (which, unlike vjp,
+        # never evaluates the primal). The matmul_pair row is the MATCHED
+        # MXU roof: the s2d algebra makes conv k8s4 a (B*56^2,4096)x(4096,64)
+        # contraction and its input-gradient the (.,64)x(64,4096) transpose
+        # - K=64 on a 128x128 MXU is the same depth-starvation the gx
+        # kernels face, so pairing down+up projections prices exactly the
+        # fwd+gx contraction geometry. matmul_square is the absolute roof.
+        KC = args.chain
+        print(f"\n--- chained-pair rows (k={KC}, overhead-free) ---")
+        flops_pair = 2.0 * flops_one
+
+        def chain_report(name, pair_fn, x0, fl=None):
+            def body_fn(x):
+                for _ in range(KC):
+                    x = pair_fn(x)
+                return x
+
+            dt = timed(body_fn, x0)
+            tfs = (fl or flops_pair) * KC / dt / 1e12
+            per_pair = dt * 1e3 / KC
+            results[name] = {"ms_per_pair": round(per_pair, 3),
+                             "tf_s": round(tfs, 1)}
+            print(f"{name:<28s} {per_pair:9.3f} ms/pair {tfs:7.1f} TF/s")
+
+        def fwd_pair(x):
+            return native_conv(native_deconv(x, w_deconv), w_conv)
+
+        deconv_t = jax.linear_transpose(
+            lambda x_: native_deconv(x_, w_deconv), x_lr)
+        conv_t = jax.linear_transpose(
+            lambda x_: native_conv(x_, w_conv), x_hr)
+
+        def gx_pair(d_hr):
+            (d_lr,) = deconv_t(d_hr)
+            (d_hr2,) = conv_t(d_lr)
+            return d_hr2
+
+        chain_report("chain/fwd(deconv;conv)", fwd_pair, x_lr)
+        chain_report("chain/gx(deconv_gx;conv_gx)", gx_pair, dy_hr)
+
+        def train_pair(x):
+            # the full fwd+bwd the train step runs for this pair: 6 kernel
+            # applications (2 fwd + 2 gx + 2 gw). Loss is 0.5*sum(y^2) so
+            # the cotangent is the OUTPUT (data, not a constant-foldable
+            # `ones`); gw leaves are consumed through a runtime-zero
+            # epsilon (1e-38 underflow, same trick as `timed`); gx is
+            # x-shaped and chains. Magnitudes may saturate in bf16 over
+            # the chain - TPU flush behavior keeps timing unaffected.
+            def loss_fn(x_, wd_, wc_):
+                y = native_conv(native_deconv(x_, wd_), wc_)
+                return 0.5 * jnp.sum(y.astype(jnp.float32) ** 2)
+
+            gx, gwd, gwc = jax.grad(loss_fn, (0, 1, 2))(x, w_deconv, w_conv)
+            eps = (jnp.sum(gwd.astype(jnp.float32))
+                   + jnp.sum(gwc.astype(jnp.float32))) * jnp.float32(1e-38)
+            return gx * (1.0 + eps).astype(gx.dtype)
+
+        chain_report("chain/fwd+bwd(pair)", train_pair, x_lr,
+                     fl=6.0 * flops_one)
+
+        # fixed roof M (not B*56^2: at B=32 that is an 822 MB operand for
+        # no extra signal - 16k rows already saturate the MXU's M tiling)
+        M = 16384
+        mx = jnp.asarray(rng.rand(M, 64 * C).astype(np.float32)).astype(jnp.bfloat16)
+        w_dn = jnp.asarray(((rng.rand(64 * C, C) - 0.5) * 0.03)
+                           .astype(np.float32)).astype(jnp.bfloat16)
+        w_up = jnp.asarray(((rng.rand(C, 64 * C) - 0.5) * 0.2)
+                           .astype(np.float32)).astype(jnp.bfloat16)
+
+        def mm_pair(a):
+            return (a @ w_dn) @ w_up
+
+        chain_report("chain/matmul_pair(K4096;K64)", mm_pair, mx,
+                     fl=2.0 * (2.0 * M * (64 * C) * C))
+
+        sq = jnp.asarray(rng.rand(8192, 4096).astype(np.float32)).astype(jnp.bfloat16)
+        w_sq = jnp.asarray(((rng.rand(4096, 4096) - 0.5) * 0.03)
+                           .astype(np.float32)).astype(jnp.bfloat16)
+        chain_report("chain/matmul_square", lambda a: a @ w_sq, sq,
+                     fl=2.0 * 8192 * 4096 * 4096)
 
     if args.sweep:
         # Width sweep: same geometry, C in {64,128,256}, vs the matched
