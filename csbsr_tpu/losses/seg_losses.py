@@ -22,12 +22,24 @@ _SMOOTH_BCE = 1e-8
 
 
 def weighted_bce(predict, target, pos_weight: Sequence[float] = (1, 1), per_pixel=False):
-    """WeightedBCELoss (`loss_functions.py:189-210`); mean over HWC per sample."""
+    """WeightedBCELoss (`loss_functions.py:189-210`); mean over HWC per sample.
+
+    The complement is clipped BEFORE its log rather than written as the
+    reference's literal `log(1 - p + eps)`: XLA on TPU reassociates
+    `1.0 - p + eps` into `(1.0 + eps) - p`, which rounds back to `1.0 - p`
+    in f32 — so when bf16-saturated probabilities hit exactly 1.0 the log
+    returns -inf and the `(1-t)*log(...)` product becomes 0*inf = NaN
+    (first seen as the round-5 dress-rehearsal NaN at the joint-phase
+    onset; CPU evaluates strictly left-to-right and never trips it). The
+    clip is an ordering barrier the reassociator cannot cross, and is
+    bit-identical to the reference arithmetic for every p <= 1 - eps.
+    """
     p = jnp.clip(predict, _SMOOTH_BCE, None)
+    q = jnp.clip(1.0 - p, _SMOOTH_BCE, None)
     w0, w1 = pos_weight
     loss = -(
         w0 * target * jnp.log(p + _SMOOTH_BCE)
-        + w1 * (1.0 - target) * jnp.log(1.0 - p + _SMOOTH_BCE)
+        + w1 * (1.0 - target) * jnp.log(q + _SMOOTH_BCE)
     ) / (w0 + w1)
     if per_pixel:
         return loss

@@ -40,6 +40,23 @@ def test_weighted_bce_matches_formula(rng):
     np.testing.assert_allclose(ours, ref.mean(axis=(1, 2, 3)), rtol=1e-5)
 
 
+def test_weighted_bce_saturated_probs_finite(rng):
+    """bf16-saturated probabilities (exactly 0.0 / 1.0) must yield a finite
+    loss. The naive `log(1 - p + eps)` is only finite by evaluation ORDER;
+    XLA:TPU reassociates it to `(1 + eps) - p` == `1 - p` and produced
+    0*log(0) = NaN the first time training saturated the seg head (round-5
+    dress rehearsal, iteration 603). The complement clip in weighted_bce is
+    the barrier; this pins the contract (and the parity of the clipped form
+    with the reference arithmetic away from saturation)."""
+    pred = np.array([[[[0.0], [1.0]], [[1.0], [0.5]]]], np.float32)
+    target = np.array([[[[0.0], [1.0]], [[0.0], [1.0]]]], np.float32)
+    out = np.asarray(weighted_bce(jnp.asarray(pred), jnp.asarray(target), (1, 1)))
+    assert np.isfinite(out).all()
+    combo = np.asarray(boundary_combo_loss(
+        jnp.asarray(pred), jnp.asarray(target), jnp.float32(1.0)))
+    assert np.isfinite(combo).all()
+
+
 def test_binary_dice_matches_formula(rng):
     pred, target = _rand_pred_target(rng)
     ours = np.asarray(binary_dice(jnp.asarray(pred), jnp.asarray(target)))
