@@ -263,11 +263,21 @@ def do_train(
     tic = time.time()
     iteration = resume_iter
 
-    for batch in _chain_first(first, it_loader):
+    def _to_device(b):
+        return shard_batch({k: jnp.asarray(v) for k, v in b.items()}, mesh)
+
+    pending = None
+    for batch, nxt_batch in _lookahead(_chain_first(first, it_loader)):
         iteration += 1
         key = jax.random.fold_in(rng, iteration)
-        hb = shard_batch({k: jnp.asarray(v) for k, v in batch.items()}, mesh)
+        hb = pending if pending is not None else _to_device(batch)
         state, metrics = step_fn(state, hb, key)
+        # one-ahead device transfer: ship iteration i+1's host batch
+        # (~25 MB at flagship scale) WHILE the just-dispatched step
+        # executes, instead of serially between this step's metrics sync
+        # and the next dispatch - that serial gap made dress-rehearsal
+        # steps 1.5-1.7 s against a 0.64 s device step (PERF.md round 5)
+        pending = _to_device(nxt_batch) if nxt_batch is not None else None
 
         for k in ("loss", "seg_loss", "sr_loss"):
             logging[k] += float(metrics[k])
@@ -346,3 +356,15 @@ def do_train(
 def _chain_first(first, rest):
     yield first
     yield from rest
+
+
+def _lookahead(gen):
+    """Yield (item, next_item or None) pairs - the hot loop uses the
+    lookahead to overlap the next batch's host->device transfer with the
+    in-flight step."""
+    gen = iter(gen)
+    prev = next(gen)
+    for nxt in gen:
+        yield prev, nxt
+        prev = nxt
+    yield prev, None
