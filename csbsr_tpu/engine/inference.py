@@ -307,15 +307,26 @@ def inference_tti(
         srs, segs, k2ds = [], [], []
         for s in range(0, patches.shape[0], max_patches_per_call):
             sr_p, seg_p, k2d = infer(jnp.asarray(patches[s : s + max_patches_per_call]))
-            srs.append(np.asarray(sr_p))
-            segs.append(np.asarray(seg_p))
-            k2ds.append(np.asarray(k2d))
-        sr_pred = joint_patch(jnp.asarray(np.concatenate(srs)), img_ushape)
-        seg_pred = joint_patch(jnp.asarray(np.concatenate(segs)), seg_ushape)
-        save_img(output_dir, np.clip(np.asarray(sr_pred), 0, 1), [fname])
+            # chunks STAY on device: the old host-f32 copy per chunk +
+            # host concat + device re-upload + host-f32 final copy moved
+            # ~26 MB/image through the tunnel where ~5.6 MB suffices
+            # (PERF.md round 5 - transfer, not compute, dominates the
+            # full-image serving path)
+            srs.append(sr_p)
+            segs.append(seg_p)
+            k2ds.append(k2d)
+        sr_pred = joint_patch(jnp.concatenate(srs), img_ushape)
+        seg_pred = joint_patch(jnp.concatenate(segs), seg_ushape)
+        # SR crosses as uint8 - bit-identical to the PNG save_img writes
+        # (same clip*255+round); seg crosses f32 ONCE because the
+        # thresholded masks compare in float exactly like the reference
+        sr_u8 = np.asarray(
+            jnp.round(jnp.clip(sr_pred.astype(jnp.float32), 0, 1) * 255.0)
+            .astype(jnp.uint8))
+        save_img(output_dir, sr_u8.astype(np.float32) / 255.0, [fname])
         if cfg.MODEL.SR == "KBPN":
             # predicted-kernel dump (`inference.py:259-260`)
-            save_kernel(output_dir, np.concatenate(k2ds)[:1], [fname])
+            save_kernel(output_dir, np.asarray(k2ds[0][:1]), [fname])
         seg_np = np.asarray(seg_pred)
         for idx in save_idx:
             save_mask(output_dir, (seg_np > thresholds[idx]).astype(np.float32), [fname], thresholds[idx])

@@ -99,7 +99,7 @@ def main():
         print(f"B={b:<3d} 224x224 out: {ms:8.2f} ms/batch  {ms / b:8.2f} ms/image")
 
     # ---- regime 2: full image end-to-end (host-inclusive) -----------------
-    def full_image(hr_size: int):
+    def full_image(hr_size: int, u8: bool):
         lr_size = hr_size // sf
         img = rng.rand(lr_size, lr_size, 3).astype(np.float32)
         carry = jnp.float32(0.0)
@@ -126,8 +126,18 @@ def main():
             sr_ushape[6] *= sf
             seg_ushape = list(sr_ushape)
             seg_ushape[4] = seg_p.shape[-1]
-            sr = np.asarray(joint_patch(sr_p.astype(jnp.float32), sr_ushape))
-            seg = np.asarray(joint_patch(seg_p.astype(jnp.float32), seg_ushape))
+            sr_d = joint_patch(sr_p.astype(jnp.float32), sr_ushape)
+            seg_d = joint_patch(seg_p.astype(jnp.float32), seg_ushape)
+            if u8:
+                # the shipped inference_tti path: SR crosses the tunnel
+                # as uint8 (bit-identical to the PNG it becomes), seg as
+                # f32 for exact float thresholding - 5.6 MB instead of
+                # 12.8 MB at 896^2
+                sr = np.asarray(
+                    jnp.round(jnp.clip(sr_d, 0, 1) * 255.0).astype(jnp.uint8))
+            else:
+                sr = np.asarray(sr_d)
+            seg = np.asarray(seg_d)
             dt = time.perf_counter() - t0
             assert sr.shape == (1, hr_size, hr_size, 3), sr.shape
             assert seg.shape == (1, hr_size, hr_size, 1), seg.shape
@@ -136,12 +146,15 @@ def main():
         run()  # compile + warm (shared 224-out graph at the right bucket)
         times = [run() for _ in range(max(10, args.iters // 3))]
         ms = float(np.median(times) * 1e3)
-        results[f"full_image_{hr_size}_ms"] = round(ms, 3)
+        tag = "_u8" if u8 else ""
+        results[f"full_image_{hr_size}{tag}_ms"] = round(ms, 3)
         n_patches = (lr_size // ph) ** 2
-        print(f"full {hr_size}x{hr_size} HR ({n_patches} patches, host-inclusive): {ms:8.2f} ms/image")
+        print(f"full {hr_size}x{hr_size} HR{tag} ({n_patches} patches, host-inclusive): {ms:8.2f} ms/image")
 
-    full_image(448)
-    full_image(896)
+    full_image(448, u8=False)
+    full_image(896, u8=False)
+    full_image(448, u8=True)
+    full_image(896, u8=True)
 
     if args.json:
         with open(args.json, "w") as f:

@@ -79,7 +79,11 @@ def build_datasets(cfg, args):
         print(f"No images found under {cfg.DATASET.TRAIN_IMAGE_DIR}; using synthetic data")
     else:
         print("Train data dir not found; using synthetic data")
-    return SyntheticCrackDataSet(cfg, size=256, image_hw=cfg.INPUT.IMAGE_SIZE)
+    # pool scales with the batch so the 5% eval split always fills at least
+    # one eval batch (256 fixed left `eval_batches` EMPTY at B=32: 13 < 32,
+    # and the in-training eval silently printed nothing at dress scale)
+    size = max(256, 21 * cfg.SOLVER.BATCH_SIZE)
+    return SyntheticCrackDataSet(cfg, size=size, image_hw=cfg.INPUT.IMAGE_SIZE)
 
 
 def main():
